@@ -15,4 +15,36 @@
 
 from . import reference
 
-__all__ = ["reference"]
+__all__ = ["reference", "create_update", "available_backends"]
+
+_REGISTRY = {}
+
+
+def register_backend(name, factory):
+    _REGISTRY[name] = factory
+
+
+def available_backends():
+    return sorted(_REGISTRY)
+
+
+def create_update(params, backend: str = "auto", **backend_kwargs):
+    """Construct a StencilUpdate for the named backend.
+
+    ``"auto"`` currently resolves to the pure-XLA reference backend; apps pass
+    ``--backend`` through here so they pick up faster backends as they land
+    (the analog of the reference's CMake backend macro selection,
+    ``examples/conway/conway.cpp:24-33``).
+    """
+    if backend == "auto":
+        backend = "reference"
+    try:
+        factory = _REGISTRY[backend]
+    except KeyError:
+        raise ValueError(
+            f"unknown backend {backend!r}; available: {available_backends()}"
+        ) from None
+    return factory(params, **backend_kwargs)
+
+
+register_backend("reference", lambda params, **kw: reference.StencilUpdate(params))
