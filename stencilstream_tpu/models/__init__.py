@@ -4,6 +4,6 @@ Each module exposes the kernel(s), a functional ``run`` helper, and a CLI
 ``main`` compatible with the reference binary's interface.
 """
 
-from . import conway, hotspot, jacobi
+from . import convection, conway, fdtd, hotspot, jacobi
 
-__all__ = ["conway", "hotspot", "jacobi"]
+__all__ = ["convection", "conway", "fdtd", "hotspot", "jacobi"]

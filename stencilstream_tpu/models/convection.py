@@ -1,0 +1,474 @@
+"""Thermal convection — a port-in-capability of the ParallelStencil.jl 2D
+mantle-convection miniapp, via the reference's StencilStream port
+(``examples/convection/convection.cpp``).
+
+Demonstrates the hardest API patterns: an 11-field cell, *two* transition
+functions alternating over one grid (pseudo-transient momentum solver with
+k=3 sub-iterations, thermal advection/diffusion solver with k=2), a host-side
+convergence loop inspecting the grid between passes, and per-timestep
+parameter mutation (the adaptive ``dt``) — which here stays compile-free
+because transition-function parameters are traced (convection.cpp:449-457).
+
+The active region is (nx, ny) inside an (nx+1, ny+1) grid; per-cell
+coordinate guards from the reference kernels become ``jnp.where`` masks.
+``x`` is the first (row) index, ``y`` the second, as in the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backends import create_update
+from ..core import Grid, Params, cell_type, transition_function
+from ..utils.io import write_csv_frame
+
+__all__ = [
+    "ThermalConvectionCell",
+    "PseudoTransientKernel",
+    "ThermalSolverKernel",
+    "Experiment",
+    "init_grid",
+    "run",
+    "main",
+    "FLOPS_PER_CELL",
+]
+
+#: ops/cell used by the reference benchmark harness
+#: (examples/convection/scripts/benchmark.jl:14-18).
+FLOPS_PER_CELL = 50
+
+
+@cell_type
+class ThermalConvectionCell:
+    T: jnp.ndarray
+    Pt: jnp.ndarray
+    Vx: jnp.ndarray
+    Vy: jnp.ndarray
+    tau_xx: jnp.ndarray
+    tau_yy: jnp.ndarray
+    sigma_xy: jnp.ndarray
+    dVxd_tau: jnp.ndarray
+    dVyd_tau: jnp.ndarray
+    ErrV: jnp.ndarray
+    ErrP: jnp.ndarray
+
+
+def zero_cell(dtype=jnp.float32) -> ThermalConvectionCell:
+    z = jnp.zeros((), dtype)
+    return ThermalConvectionCell(
+        T=z, Pt=z, Vx=z, Vy=z, tau_xx=z, tau_yy=z, sigma_xy=z,
+        dVxd_tau=z, dVyd_tau=z, ErrV=z, ErrP=z,
+    )
+
+
+@transition_function
+class PseudoTransientKernel:
+    """Momentum/pressure pseudo-transient iteration, k=3
+    (``convection.cpp:76-183``)."""
+
+    stencil_radius = 1
+    n_subiterations = 3
+
+    nx: int = 0
+    ny: int = 0
+    roh0_g_alpha: float = 0.0
+    delta_eta_delta_T: float = 0.0
+    eta0: float = 0.0
+    deltaT: float = 0.0
+    dx: float = 1.0
+    dy: float = 1.0
+    delta_tau_iter: float = 0.0
+    beta: float = 1.0
+    rho: float = 1.0
+    dampX: float = 0.0
+    dampY: float = 0.0
+
+    def get_time_dependent_value(self, i):
+        return None
+
+    def __call__(self, s):
+        c = s[0, 0]
+        x, y = s.row, s.col
+        nx, ny = self.nx, self.ny
+        dx, dy = self.dx, self.dy
+
+        if s.subiteration == 0:
+            mask_v = (x < nx) & (y < ny + 1)
+            mask_p = (x < nx) & (y < ny)
+
+            ErrV = jnp.where(mask_v, c.Vy, c.ErrV)
+            ErrP = jnp.where(mask_p, c.Pt, c.ErrP)
+
+            d_xa_vx = s[1, 0].Vx - c.Vx
+            d_ya_vy = s[0, 1].Vy - c.Vy
+            delta_V = d_xa_vx / dx + d_ya_vy / dy
+            eta = self.eta0 * (1.0 - self.delta_eta_delta_T * (c.T + self.deltaT / 2.0))
+
+            Pt = jnp.where(mask_p, c.Pt - self.delta_tau_iter / self.beta * delta_V, c.Pt)
+            tau_xx = jnp.where(
+                mask_p, 2.0 * eta * (d_xa_vx / dx - (1.0 / 3.0) * delta_V), c.tau_xx
+            )
+            tau_yy = jnp.where(
+                mask_p, 2.0 * eta * (d_ya_vy / dy - (1.0 / 3.0) * delta_V), c.tau_yy
+            )
+            d_yi_vx = s[1, 1].Vx - s[1, 0].Vx
+            d_xi_vy = s[1, 1].Vy - s[0, 1].Vy
+            sigma_xy = jnp.where(
+                mask_p & (x < nx - 1) & (y < ny - 1),
+                eta * (d_yi_vx / dy + d_xi_vy / dx),
+                c.sigma_xy,
+            )
+            return dataclasses.replace(
+                c, ErrV=ErrV, ErrP=ErrP, Pt=Pt, tau_xx=tau_xx, tau_yy=tau_yy,
+                sigma_xy=sigma_xy,
+            )
+
+        if s.subiteration == 1:
+            inner = (x >= 1) & (y >= 1)
+            mask_x = inner & (x < nx) & (y < ny - 1)
+            Rx = (1.0 / self.rho) * (
+                (c.tau_xx - s[-1, 0].tau_xx) / dx
+                + (s[-1, 0].sigma_xy - s[-1, -1].sigma_xy) / dy
+                - (c.Pt - s[-1, 0].Pt) / dx
+            )
+            dVxd_tau = jnp.where(
+                mask_x, self.dampX * c.dVxd_tau + Rx * self.delta_tau_iter, c.dVxd_tau
+            )
+            Vx = jnp.where(mask_x, c.Vx + dVxd_tau * self.delta_tau_iter, c.Vx)
+
+            mask_y = inner & (x < nx - 1) & (y < ny)
+            Ry = (1.0 / self.rho) * (
+                (c.tau_yy - s[0, -1].tau_yy) / dy
+                + (s[0, -1].sigma_xy - s[-1, -1].sigma_xy) / dx
+                - (c.Pt - s[0, -1].Pt) / dy
+                + self.roh0_g_alpha * ((s[0, -1].T + c.T) * 0.5)
+            )
+            dVyd_tau = jnp.where(
+                mask_y, self.dampY * c.dVyd_tau + Ry * self.delta_tau_iter, c.dVyd_tau
+            )
+            Vy = jnp.where(mask_y, c.Vy + dVyd_tau * self.delta_tau_iter, c.Vy)
+            return dataclasses.replace(c, dVxd_tau=dVxd_tau, Vx=Vx, dVyd_tau=dVyd_tau, Vy=Vy)
+
+        # sub-iteration 2: boundary conditions + error update
+        mask_bcx = (x < nx + 1) & (y < ny)
+        Vx = jnp.where(mask_bcx & (y == 0), s[0, 1].Vx, c.Vx)
+        Vx = jnp.where(mask_bcx & (y == ny - 1), s[0, -1].Vx, Vx)
+
+        mask_bcy = (x < nx) & (y < ny + 1)
+        Vy = jnp.where(mask_bcy & (x == 0), s[1, 0].Vy, c.Vy)
+        Vy = jnp.where(mask_bcy & (x == nx - 1), s[-1, 0].Vy, Vy)
+
+        ErrV = jnp.where(mask_bcy, c.ErrV - Vy, c.ErrV)
+        ErrP = jnp.where((x < nx) & (y < ny), c.ErrP - c.Pt, c.ErrP)
+        return dataclasses.replace(c, Vx=Vx, Vy=Vy, ErrV=ErrV, ErrP=ErrP)
+
+
+@transition_function
+class ThermalSolverKernel:
+    """Temperature advection/diffusion + flux boundary conditions, k=2
+    (``convection.cpp:185-242``)."""
+
+    stencil_radius = 1
+    n_subiterations = 2
+
+    nx: int = 0
+    ny: int = 0
+    dx: float = 1.0
+    dy: float = 1.0
+    dt: float = 0.0
+    DcT: float = 0.0
+
+    def get_time_dependent_value(self, i):
+        return None
+
+    def __call__(self, s):
+        c = s[0, 0]
+        x, y = s.row, s.col
+        nx, ny = self.nx, self.ny
+        dx, dy = self.dx, self.dy
+
+        if s.subiteration == 0:
+            mask = (x > 0) & (y > 0) & (x < nx - 1) & (y < ny - 1)
+            qTx_top_left = -self.DcT * (c.T - s[-1, 0].T) / dx
+            qTx_top = -self.DcT * (s[1, 0].T - c.T) / dx
+            qTy_top_left = -self.DcT * (c.T - s[0, -1].T) / dy
+            qTy_left = -self.DcT * (s[0, 1].T - c.T) / dy
+
+            dT_dt = -((qTx_top - qTx_top_left) / dx + (qTy_left - qTy_top_left) / dy)
+            zero = jnp.zeros_like(dT_dt)
+            dT_dt = dT_dt - jnp.where(c.Vx > 0, c.Vx * (c.T - s[-1, 0].T) / dx, zero)
+            dT_dt = dT_dt - jnp.where(
+                s[1, 0].Vx < 0, s[1, 0].Vx * (s[1, 0].T - c.T) / dx, zero
+            )
+            dT_dt = dT_dt - jnp.where(c.Vy > 0, c.Vy * (c.T - s[0, -1].T) / dy, zero)
+            dT_dt = dT_dt - jnp.where(
+                s[0, 1].Vy < 0, s[0, 1].Vy * (s[0, 1].T - c.T) / dy, zero
+            )
+            return dataclasses.replace(c, T=jnp.where(mask, c.T + dT_dt * self.dt, c.T))
+
+        # sub-iteration 1: no_fluxY_T boundary conditions
+        T = jnp.where((x == nx - 1) & (y < ny), s[-1, 0].T, c.T)
+        T = jnp.where((x == 0) & (y < ny), s[1, 0].T, T)
+        return dataclasses.replace(c, T=T)
+
+
+# --------------------------------------------------------------------------- #
+# Experiment configuration and host driver                                    #
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass
+class Experiment:
+    """JSON experiment schema (``convection.cpp:305-333``); the reference's
+    experiment files load unchanged."""
+
+    lx: float
+    ly: float
+    px: float
+    py: float
+    eta0: float
+    DcT: float
+    deltaT: float
+    Ra: float
+    Pra: float
+    res: int
+    iterMax: int
+    nt: int
+    nout: int
+    nerr: int
+    epsilon: float
+    dmp: float
+
+    _INT_FIELDS = ("res", "iterMax", "nt", "nout", "nerr")
+
+    @classmethod
+    def load(cls, path) -> "Experiment":
+        with open(path) as f:
+            cfg = json.load(f)
+        kwargs = {}
+        for field in dataclasses.fields(cls):
+            if field.name not in cfg:
+                raise ValueError(f"experiment file is missing field '{field.name}'")
+            v = cfg[field.name]
+            kwargs[field.name] = int(v) if field.name in cls._INT_FIELDS else float(v)
+        return cls(**kwargs)
+
+    # Derived numerics (convection.cpp:317-355)
+    @property
+    def ar(self):
+        return self.lx / self.ly
+
+    @property
+    def w_blob(self):
+        return 1e-2 * self.ly
+
+    @property
+    def roh0_g_alpha(self):
+        return self.Ra * self.eta0 * self.DcT / self.deltaT / self.ly**3
+
+    @property
+    def delta_eta_delta_T(self):
+        return 1e-10 / self.deltaT
+
+    @property
+    def nx(self):
+        return int(self.res * self.lx) - 1
+
+    @property
+    def ny(self):
+        return int(self.res * self.ly) - 1
+
+    @property
+    def dx(self):
+        return self.lx / (self.nx - 1)
+
+    @property
+    def dy(self):
+        return self.ly / (self.ny - 1)
+
+    @property
+    def rho(self):
+        return 1.0 / self.Pra * self.eta0 / self.DcT
+
+    @property
+    def dt_diff(self):
+        return 1.0 / 4.1 * min(self.dx, self.dy) ** 2 / self.DcT
+
+    @property
+    def delta_tau_iter(self):
+        return 1.0 / 6.1 * min(self.dx, self.dy) / math.sqrt(self.eta0 / self.rho)
+
+    @property
+    def beta(self):
+        return 6.1 * self.delta_tau_iter**2 / min(self.dx, self.dy) ** 2 / self.rho
+
+    @property
+    def dampX(self):
+        return 1.0 - self.dmp / self.nx
+
+    @property
+    def dampY(self):
+        return 1.0 - self.dmp / self.ny
+
+
+def make_pseudo_transient_kernel(e: Experiment, dtype=np.float32) -> PseudoTransientKernel:
+    f = lambda v: dtype(v)
+    return PseudoTransientKernel(
+        nx=e.nx, ny=e.ny,
+        roh0_g_alpha=f(e.roh0_g_alpha),
+        delta_eta_delta_T=f(e.delta_eta_delta_T),
+        eta0=f(e.eta0), deltaT=f(e.deltaT),
+        dx=f(e.dx), dy=f(e.dy),
+        delta_tau_iter=f(e.delta_tau_iter), beta=f(e.beta), rho=f(e.rho),
+        dampX=f(e.dampX), dampY=f(e.dampY),
+    )
+
+
+def init_grid(e: Experiment, dtype=np.float32) -> Grid:
+    """Initial condition: hot bottom plate, cold top plate, Gaussian blob
+    (``convection.cpp:380-397``)."""
+    nx, ny = e.nx, e.ny
+    x = np.arange(nx + 1)[:, None]
+    y = np.arange(ny + 1)[None, :]
+    blob = e.deltaT * np.exp(
+        -(((x * e.dx - e.px) / e.w_blob) ** 2) - ((y * e.dy - e.py) / e.w_blob) ** 2
+    )
+    T = np.where((x < nx) & (y < ny), blob, 0.0)
+    T = np.where(y == ny - 1, -e.deltaT / 2.0, T)
+    T = np.where(y == 0, e.deltaT / 2.0, T)
+    zeros = np.zeros((nx + 1, ny + 1), dtype)
+    return Grid.from_numpy(
+        ThermalConvectionCell(
+            T=T.astype(dtype), Pt=zeros, Vx=zeros, Vy=zeros,
+            tau_xx=zeros, tau_yy=zeros, sigma_xy=zeros,
+            dVxd_tau=zeros, dVyd_tau=zeros, ErrV=zeros, ErrP=zeros,
+        )
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _error_maxes(arrays, nx: int, ny: int):
+    """Masked |max| reductions the reference scans on the host
+    (``convection.cpp:412-436``) — done on device here."""
+    return (
+        jnp.abs(arrays.ErrV[:nx, :]).max(),
+        jnp.abs(arrays.ErrP[:nx, :ny]).max(),
+        jnp.abs(arrays.Vx[:, :ny]).max(),
+        jnp.abs(arrays.Vy[:nx, :ny]).max(),
+        jnp.abs(arrays.Pt[:nx, :ny]).max(),
+    )
+
+
+def run(
+    e: Experiment,
+    out_dir: str | None = None,
+    backend: str = "auto",
+    dtype=np.float32,
+    verbose: bool = True,
+):
+    """Full timestep loop with pseudo-transient convergence
+    (``convection.cpp:399-478``). Returns ``(grid, stats)``."""
+    halo = zero_cell(jnp.dtype(dtype))
+    pt_update = create_update(
+        Params(
+            transition_function=make_pseudo_transient_kernel(e, dtype),
+            halo_value=halo,
+            n_iterations=e.nerr,
+            blocking=True,
+        ),
+        backend=backend,
+    )
+    thermal_update = create_update(
+        Params(
+            transition_function=ThermalSolverKernel(
+                nx=e.nx, ny=e.ny, dx=dtype(e.dx), dy=dtype(e.dy),
+                dt=dtype(0.0), DcT=dtype(e.DcT),
+            ),
+            halo_value=halo,
+            n_iterations=1,
+        ),
+        backend=backend,
+    )
+
+    grid = init_grid(e, dtype)
+    stats = []
+    start = time.perf_counter()
+    for it in range(1, e.nt + 1):
+        errV = errP = 2 * e.epsilon
+        max_vals = (0.0,) * 5
+        iters = 0
+        t0 = time.perf_counter()
+        while iters < e.iterMax and (errV > e.epsilon or errP > e.epsilon):
+            grid = pt_update(grid)
+            iters += e.nerr
+            m = _error_maxes(grid.arrays, e.nx, e.ny)
+            max_ErrV, max_ErrP, max_Vx, max_Vy, max_Pt = (float(v) for v in m)
+            errV = max_ErrV / (1e-12 + max_Vy)
+            errP = max_ErrP / (1e-12 + max_Pt)
+            max_vals = (max_ErrV, max_ErrP, max_Vx, max_Vy, max_Pt)
+        t1 = time.perf_counter()
+
+        if verbose:
+            print(
+                f"it = {it} (iter = {iters}, time = {t1 - t0:e}), "
+                f"errV={errV:1.3e}, errP={errP:1.3e}"
+            )
+
+        _, _, max_Vx, max_Vy, _ = max_vals
+        dt_adv = min(e.dx / max(max_Vx, 1e-300), e.dy / max(max_Vy, 1e-300)) / 2.1
+        dt = min(e.dt_diff, dt_adv)
+        # Mutating the traced parameter — no recompilation (convection.cpp:452-457
+        # rebuilds the whole updater here instead).
+        thermal_update.get_params().transition_function.dt = dtype(dt)
+        grid = thermal_update(grid)
+
+        stats.append({"it": it, "iters": iters, "errV": errV, "errP": errP, "dt": dt})
+
+        if out_dir is not None and it % e.nout == 0:
+            write_csv_frame(
+                os.path.join(out_dir, f"{it}.csv"),
+                grid.to_numpy().T[: e.nx, : e.ny],
+            )
+
+    total = time.perf_counter() - start
+    if verbose:
+        print(f"Total time = {total}")
+        print(f"Of which transient computation time: {pt_update.get_walltime()} s")
+    return grid, {"stats": stats, "total_time": total, "pt_update": pt_update}
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="convection")
+    parser.add_argument("experiment", help="path to experiment JSON")
+    parser.add_argument("output_dir")
+    parser.add_argument("--backend", default="auto")
+    parser.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    args = parser.parse_args(argv)
+
+    if not os.path.isfile(args.experiment):
+        print("The experiment file does not exist or is not a regular file.", file=sys.stderr)
+        return 1
+    if not os.path.isdir(args.output_dir):
+        print("The output directory does not exist or is not a directory.", file=sys.stderr)
+        return 1
+
+    dtype = np.float64 if args.dtype == "float64" else np.float32
+    if dtype is np.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    e = Experiment.load(args.experiment)
+    run(e, out_dir=args.output_dir, backend=args.backend, dtype=dtype)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
