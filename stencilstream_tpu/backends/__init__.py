@@ -47,4 +47,25 @@ def create_update(params, backend: str = "auto", **backend_kwargs):
     return factory(params, **backend_kwargs)
 
 
+def _make_monotile(params, **kw):
+    from . import monotile
+
+    return monotile.StencilUpdate(params, **kw)
+
+
+def _make_tiling(params, **kw):
+    from . import tiling
+
+    return tiling.StencilUpdate(params, **kw)
+
+
+def _make_distributed(params, **kw):
+    from . import distributed
+
+    return distributed.StencilUpdate(params, **kw)
+
+
 register_backend("reference", lambda params, **kw: reference.StencilUpdate(params))
+register_backend("monotile", _make_monotile)
+register_backend("tiling", _make_tiling)
+register_backend("distributed", _make_distributed)

@@ -1,0 +1,218 @@
+"""Monotile backend: one fused Pallas kernel, grid resident in VMEM.
+
+TPU-native analog of the reference's flagship FPGA backend
+(``StencilStream/monotile/internal/StencilUpdateKernel.hpp:65``): where the
+FPGA streams the grid through a chain of ``p * n_subiterations`` processing
+elements (temporal blocking, p iterations per global-memory round trip), the
+TPU keeps the *whole grid in VMEM* and runs **all** iterations of a call in one
+``pallas_call`` — a single HBM round trip for the entire update, the logical
+limit of temporal blocking (effective p = n_iterations).
+
+Mapping of the reference's design elements:
+
+* line cache + shift-register window (``StencilUpdateKernel.hpp:180-186``) →
+  the VMEM-resident field arrays themselves; neighbor access is a static
+  slice of a halo-padded copy, vectorized across all lanes by Mosaic.
+* halo masking from global coords (``StencilUpdateKernel.hpp:259-303``) → the
+  constant-value pad itself (window == grid, so pad == grid boundary).
+* pass-through for partial passes (:250-256) → unnecessary: the iteration
+  count is exact, no pipeline padding exists.
+* ``max_grid_height/width`` template params sizing on-chip buffers
+  (``monotile/StencilUpdate.hpp:78-84``) → the VMEM capacity check in
+  :meth:`StencilUpdate._update`.
+* TDV strategies (``tdv/SinglePassStrategies.hpp``) → inline TDV is traced
+  into the kernel; precomputed TDV arrays ride along as SMEM/VMEM operands.
+
+Cells are pytrees; every leaf array lives in VMEM for the whole run. Scalar
+runtime parameters (transition-function fields, halo cell, iteration offset)
+are SMEM operands, so mutating them between calls never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.grid import Grid
+from ..tdv import PrecomputeOnDeviceTDV
+from .base import StencilUpdateBase, resolve_halo
+from .pallas_util import HoistedFn, Operands, should_interpret
+from .reference import single_subiteration
+
+__all__ = ["StencilUpdate", "MONOTILE_VMEM_BUDGET"]
+
+#: VMEM budget (bytes) for grid residency; grids needing more must use the
+#: tiling backend (the analog of exceeding ``max_grid_height x max_grid_width``,
+#: ``monotile/StencilUpdate.hpp:200-209``).
+MONOTILE_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "n_subiterations",
+        "n_iterations",
+        "strategy",
+        "interpret",
+        "unroll",
+    ),
+)
+def _run_monotile(
+    arrays,
+    tf,
+    halo_cell,
+    offset,
+    tdv_aux,
+    *,
+    radius: int,
+    n_subiterations: int,
+    n_iterations: int,
+    strategy,
+    interpret: bool,
+    unroll: int,
+):
+    if n_iterations == 0:
+        return arrays
+
+    # Precompute-on-device runs as traced XLA ahead of the kernel — same
+    # device-side semantics as ``tdv/SinglePassStrategies.hpp:155-192``.
+    if isinstance(strategy, PrecomputeOnDeviceTDV):
+        tdv_aux = strategy.precompute_traced(tf, offset, n_iterations)
+
+    def pure_run(arrays, tf, halo_cell, offset, tdv_aux):
+        def iter_body(i, cur):
+            i_abs = offset + i
+            tdv = strategy.lookup(tf, tdv_aux, i, i_abs)
+            for sub in range(n_subiterations):
+                cur = single_subiteration(
+                    cur, tf, halo_cell, i_abs, sub, tdv, radius=radius
+                )
+            return cur
+
+        if unroll and n_iterations <= unroll:
+            cur = arrays
+            for i in range(n_iterations):
+                cur = iter_body(i, cur)
+            return cur
+        return lax.fori_loop(0, n_iterations, iter_body, arrays, unroll=unroll or 1)
+
+    # Transition functions freely capture jnp constants (coefficient tables,
+    # LUT arrays, module-level constants...). Pallas kernels may not close
+    # over array constants, so hoist them into explicit operands.
+    offset = jnp.asarray(offset, jnp.int32)
+    hoisted = HoistedFn(pure_run, arrays, tf, halo_cell, offset, tdv_aux)
+
+    grid_ops = Operands(arrays)
+    tf_ops = Operands(tf, vectors_as_refs=False)
+    halo_ops = Operands(halo_cell)
+    off_ops = Operands(offset)
+    aux_ops = Operands(tdv_aux, vectors_as_refs=False)
+    const_ops = Operands(hoisted.consts, vectors_as_refs=False)
+    groups = (off_ops, grid_ops, tf_ops, halo_ops, aux_ops, const_ops)
+    counts = [len(g.values) for g in groups]
+
+    def kernel(*refs):
+        it = iter(refs)
+        parts = [[next(it) for _ in range(c)] for c in counts]
+        out_refs = list(it)
+        offset_v = off_ops.decode(parts[0])
+        arrays_v = grid_ops.decode(parts[1])
+        tf_v = tf_ops.decode(parts[2])
+        halo_v = halo_ops.decode(parts[3])
+        aux_v = aux_ops.decode(parts[4])
+        consts_v = const_ops.decode(parts[5])
+
+        cur = hoisted(arrays_v, tf_v, halo_v, offset_v, aux_v, consts=consts_v)
+
+        for ref, leaf in zip(out_refs, jax.tree.leaves(cur)):
+            a = jnp.asarray(leaf)
+            if a.dtype == jnp.bool_:
+                a = a.astype(jnp.int8)
+            ref[:] = a
+
+    grid_bytes = sum(v.size * v.dtype.itemsize for v in grid_ops.values)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in grid_ops.values
+        ],
+        in_specs=[s for g in groups for s in g.specs],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in grid_ops.values],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                MONOTILE_VMEM_BUDGET + 16 * 1024 * 1024,
+                max(32 * 1024 * 1024, int(grid_bytes * 6)),
+            ),
+        ),
+        interpret=interpret,
+    )(*[v for g in groups for v in g.values])
+
+    leaves = []
+    for v, dt in zip(out, grid_ops.dtypes):
+        leaves.append(v.astype(jnp.bool_) if dt == jnp.bool_ else v)
+    return jax.tree.unflatten(grid_ops.treedef, leaves)
+
+
+class StencilUpdate(StencilUpdateBase):
+    """Monotile (VMEM-resident) stencil updater.
+
+    Extra keyword options:
+
+    * ``unroll`` — unroll factor for the in-kernel iteration loop (0 = let
+      ``fori_loop`` roll; small full-unroll threshold otherwise).
+    * ``interpret`` — force Pallas interpreter mode (defaults to automatic:
+      interpreted off-TPU so the backend is testable on the CPU mesh).
+    """
+
+    def __init__(self, params, *, unroll: int = 0, interpret: bool | None = None):
+        super().__init__(params)
+        self.unroll = unroll
+        self.interpret = interpret
+
+    def _update(self, grid: Grid) -> Grid:
+        p = self.params
+        tf = p.transition_function
+        strategy = self._tdv_strategy()
+        halo_cell = resolve_halo(p.halo_value, grid)
+        n = int(p.n_iterations)
+
+        grid_bytes = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(grid.arrays)
+        )
+        # Pad + working copies roughly triple residency; keep the check
+        # conservative so failures are actionable, like the reference's
+        # max-dims validation (monotile/StencilUpdate.hpp:200-209).
+        if grid_bytes * 3 > MONOTILE_VMEM_BUDGET:
+            raise ValueError(
+                f"grid needs ~{grid_bytes // (1024 * 1024)} MiB of cell data; "
+                f"the monotile backend requires the whole grid resident in "
+                f"VMEM (budget {MONOTILE_VMEM_BUDGET // (1024 * 1024)} MiB). "
+                f"Use the tiling backend for larger grids."
+            )
+
+        offset = jnp.asarray(p.iteration_offset, jnp.int32)
+        tdv_aux = strategy.prepare(tf, int(p.iteration_offset), n)
+        interpret = (
+            self.interpret if self.interpret is not None else should_interpret()
+        )
+        out = _run_monotile(
+            grid.arrays,
+            tf,
+            halo_cell,
+            offset,
+            tdv_aux,
+            radius=tf.stencil_radius,
+            n_subiterations=tf.n_subiterations,
+            n_iterations=n,
+            strategy=strategy,
+            interpret=interpret,
+            unroll=self.unroll,
+        )
+        return Grid(out)

@@ -1,0 +1,391 @@
+"""Tiling backend: temporal blocking over full-width row strips, any grid size.
+
+TPU-native analog of the reference's tiling FPGA backend
+(``StencilStream/tiling/StencilUpdate.hpp:69``): grids too large for on-chip
+residency are cut into overlapping windows that stream through a fused
+multi-iteration update, trading redundant halo compute for a ``p``-fold cut
+in global-memory traffic.
+
+Where the reference tiles in both dimensions with a compound halo of
+``r * p * n_subiterations`` per side (``tiling/internal/StencilUpdateKernel.hpp:79-91``),
+the TPU-native decomposition is **full-width row strips**: the lane (minor)
+dimension stays contiguous — sequential HBM streams, no lane-dim halo
+overhead — and only the sublane (row) dimension carries the compound halo.
+This mirrors the reference's own best configurations, which use maximally
+tall tiles for the same reason (``examples/hotspot/hotspot.cpp:120-127``,
+tile 2^16 x 4096). Each Pallas grid step processes one strip:
+
+* input: an *overlapping* window of ``strip_rows + 2*halo`` rows (element-
+  indexed BlockSpec), automatically double-buffered by the Pallas pipeline —
+  the analog of the reference's ``HaloTiledInputKernel``
+  (``tiling/internal/HaloTiledInputKernel.hpp:36``),
+* compute: ``p * n_subiterations`` fused sub-steps with the shrinking-window
+  discipline (:mod:`.fused`), pass-through past the target iteration
+  (partial passes, ``StencilUpdateKernel.hpp:300-310``),
+* output: the strip core, written back in place of the input rows.
+
+The multi-pass loop (``ceil(n / p)`` passes, double-buffered grids,
+``tiling/StencilUpdate.hpp:216-247``) runs as a ``lax.fori_loop`` over a
+halo-framed carry array, so the whole update is one XLA computation.
+
+Grids that fit the monotile VMEM budget should prefer the monotile backend
+(zero redundant compute); this backend exists for everything bigger, exactly
+like the reference pairing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.grid import Grid
+from ..tdv import PrecomputeOnDeviceTDV
+from .base import StencilUpdateBase, resolve_halo
+from .fused import fused_window_pass, halo_width
+from .pallas_util import HoistedFn, Operands, round_up, should_interpret, sublane_multiple
+
+__all__ = ["StencilUpdate", "TILING_VMEM_BUDGET"]
+
+#: VMEM working budget for one strip window (with Pallas double buffering).
+TILING_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _cell_sublane_multiple(arrays) -> int:
+    m = 8
+    for a in jax.tree.leaves(arrays):
+        dt = jnp.int8 if a.dtype == jnp.bool_ else a.dtype
+        m = max(m, sublane_multiple(dt))
+    return m
+
+
+def _cell_row_bytes(arrays) -> int:
+    leaves = jax.tree.leaves(arrays)
+    width = leaves[0].shape[1]
+    return sum(
+        width * max(jnp.dtype(jnp.int8 if a.dtype == jnp.bool_ else a.dtype).itemsize, 1)
+        for a in leaves
+    )
+
+
+def pick_config(
+    arrays,
+    radius: int,
+    n_subiterations: int,
+    n_iterations: int,
+    strip_rows: int | None,
+    iters_per_pass: int | None,
+) -> tuple[int, int]:
+    """Choose (strip_rows, iters_per_pass) — the analog of the reference's
+    per-app tuned ``{temporal_parallelism, tile size}`` tables
+    (``examples/jacobi/kernels.hpp:236-253``)."""
+    H, _ = jax.tree.leaves(arrays)[0].shape
+    m = _cell_sublane_multiple(arrays)
+    row_bytes = _cell_row_bytes(arrays)
+
+    if strip_rows is None:
+        # Target a strip window of ~1/6 of the VMEM budget (input + output
+        # double buffers + working set), within [m, 1024] rows.
+        target_rows = max(m, min(1024, (TILING_VMEM_BUDGET // 6) // max(row_bytes, 1)))
+        strip_rows = max(m, (target_rows // m) * m)
+    strip_rows = min(round_up(strip_rows, m), round_up(H, m))
+
+    if iters_per_pass is None:
+        # Halo overhead 2*r*p*k <= strip_rows/2  =>  ~33% redundant rows.
+        iters_per_pass = max(1, strip_rows // (4 * radius * n_subiterations))
+    if n_iterations:
+        iters_per_pass = min(iters_per_pass, n_iterations)
+    return strip_rows, iters_per_pass
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "n_subiterations",
+        "n_iterations",
+        "strategy",
+        "strip_rows",
+        "iters_per_pass",
+        "interpret",
+    ),
+)
+def _run_tiling(
+    arrays,
+    tf,
+    halo_cell,
+    offset,
+    tdv_aux,
+    *,
+    radius: int,
+    n_subiterations: int,
+    n_iterations: int,
+    strategy,
+    strip_rows: int,
+    iters_per_pass: int,
+    interpret: bool,
+):
+    if n_iterations == 0:
+        return arrays
+
+    if isinstance(strategy, PrecomputeOnDeviceTDV):
+        tdv_aux = strategy.precompute_traced(tf, offset, n_iterations)
+
+    H, W = jax.tree.leaves(arrays)[0].shape
+    r, k, p = radius, n_subiterations, iters_per_pass
+    m = _cell_sublane_multiple(arrays)
+    T = strip_rows
+    hp = halo_width(r, p, k)
+    # Window offsets (hp_pad + i*T) must stay aligned to the sublane tile m.
+    hp_pad = round_up(hp, m)
+    extra = hp_pad - hp  # window rows left over after shrinking
+    n_strips = -(-H // T)
+    Hp = n_strips * T + 2 * hp_pad
+    win_rows = T + 2 * hp_pad
+    n_passes = -(-n_iterations // p)
+    offset = jnp.asarray(offset, jnp.int32)
+    i_target = offset + n_iterations
+
+    def encode_store(a, like):
+        return a.astype(jnp.int8) if like.dtype == jnp.bool_ else a
+
+    def decode_store(a, like):
+        return a.astype(jnp.bool_) if like.dtype == jnp.bool_ else a
+
+    # Halo-framed padded carry: rows [hp_pad, hp_pad+H) hold the grid, the
+    # frame holds the halo value (bool stored as int8 for TPU lane tiling).
+    def make_padded(a, hv):
+        a = encode_store(a, a)
+        hv = jnp.asarray(hv, a.dtype)
+        out = jnp.full((Hp, W), hv, a.dtype)
+        return lax.dynamic_update_slice(out, a, (hp_pad, 0))
+
+    halo_store = jax.tree.map(
+        lambda hv, a: jnp.asarray(hv, jnp.int8 if a.dtype == jnp.bool_ else a.dtype),
+        halo_cell,
+        arrays,
+    )
+    padded = jax.tree.map(
+        lambda a, hv: make_padded(a, hv), arrays, halo_store
+    )
+
+    def pure_strip(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
+        def tdv_lookup(step, i_abs):
+            i_rel = jnp.clip(i_abs - offset, 0, max(n_iterations - 1, 0))
+            return strategy.lookup(tf, tdv_aux, i_rel, i_abs)
+
+        out = fused_window_pass(
+            window,
+            tf,
+            halo_cell,
+            origin=(origin_row, 0),
+            grid_range=(H, W),
+            i_start=i_start,
+            i_target=i_target,
+            tdv_lookup=tdv_lookup,
+            radius=r,
+            n_subiterations=k,
+            n_steps=p,
+            row_mode="shrink",
+            col_mode="pad",
+        )
+        # Shrinking consumed 2*hp of the 2*hp_pad halo; slice the core.
+        return jax.tree.map(lambda a: lax.slice(a, (extra, 0), (extra + T, W)), out)
+
+    # Bools live as int8 in storage but the transition function sees bools.
+    def window_decode(w):
+        return jax.tree.map(decode_store, w, arrays)
+
+    def window_encode(w):
+        return jax.tree.map(encode_store, w, arrays)
+
+    def strip_fn(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
+        out = pure_strip(
+            window_decode(window), tf, halo_cell, i_start, origin_row, offset, tdv_aux
+        )
+        return window_encode(out)
+
+    example_window = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct((win_rows, W), jnp.int8 if a.dtype == jnp.bool_ else a.dtype),
+        arrays,
+    )
+    i_start0 = jnp.asarray(offset, jnp.int32)
+    origin0 = jnp.asarray(0, jnp.int32)
+    hoisted = HoistedFn(
+        strip_fn, example_window, tf, halo_cell, i_start0, origin0, offset, tdv_aux
+    )
+
+    tf_ops = Operands(tf, vectors_as_refs=False)
+    halo_ops = Operands(halo_cell)
+    scal_ops = Operands((i_start0, offset))
+    aux_ops = Operands(tdv_aux, vectors_as_refs=False)
+    const_ops = Operands(hoisted.consts, vectors_as_refs=False)
+    groups = (scal_ops, tf_ops, halo_ops, aux_ops, const_ops)
+    counts = [len(g.values) for g in groups]
+
+    grid_leaves_tpl = jax.tree.leaves(padded)
+    n_fields = len(grid_leaves_tpl)
+
+    def kernel(*refs):
+        it = iter(refs)
+        parts = [[next(it) for _ in range(c)] for c in counts]
+        win_refs = [next(it) for _ in range(n_fields)]
+        out_refs = list(it)
+        i_start_v, offset_v = scal_ops.decode(parts[0])
+        tf_v = tf_ops.decode(parts[1])
+        halo_v = halo_ops.decode(parts[2])
+        aux_v = aux_ops.decode(parts[3])
+        consts_v = const_ops.decode(parts[4])
+
+        strip = pl.program_id(0)
+        origin_row = strip * T - hp_pad
+        window = jax.tree.unflatten(
+            jax.tree.structure(padded), [wr[:] for wr in win_refs]
+        )
+        out = hoisted(
+            window,
+            tf_v,
+            halo_v,
+            i_start_v,
+            jnp.asarray(origin_row, jnp.int32),
+            offset_v,
+            aux_v,
+            consts=consts_v,
+        )
+        for ref, leaf in zip(out_refs, jax.tree.leaves(out)):
+            ref[:] = leaf
+
+    win_spec = pl.BlockSpec(
+        (pl.Element(win_rows), pl.Element(W)),
+        lambda i: (i * T, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (pl.Element(T), pl.Element(W)),
+        lambda i: (hp_pad + i * T, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    window_bytes = win_rows * _cell_row_bytes(arrays)
+
+    def pass_body(i_pass, padded):
+        i_start = offset + i_pass * p
+        scal_vals = Operands((i_start, offset)).values
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_strips,),
+            in_specs=(
+                list(scal_ops.specs)
+                + [s for g in groups[1:] for s in g.specs]
+                + [win_spec] * n_fields
+            ),
+            out_specs=[out_spec] * n_fields,
+            out_shape=[
+                jax.ShapeDtypeStruct((Hp, W), a.dtype)
+                for a in jax.tree.leaves(padded)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(int(window_bytes * 8) + (1 << 25), 120 * (1 << 20)),
+            ),
+            interpret=interpret,
+        )(
+            *scal_vals,
+            *[v for g in groups[1:] for v in g.values],
+            *jax.tree.leaves(padded),
+        )
+        # Restore the halo frame (the kernel writes only strip cores).
+        def fix_frame(a, hv):
+            hv = jnp.asarray(hv, a.dtype)
+            a = lax.dynamic_update_slice(a, jnp.full((hp_pad, W), hv), (0, 0))
+            a = lax.dynamic_update_slice(
+                a, jnp.full((hp_pad, W), hv), (Hp - hp_pad, 0)
+            )
+            # Round-up rows below the grid also stay halo.
+            if n_strips * T > H:
+                a = lax.dynamic_update_slice(
+                    a,
+                    jnp.full((n_strips * T - H, W), hv),
+                    (hp_pad + H, 0),
+                )
+            return a
+
+        return jax.tree.map(
+            fix_frame,
+            jax.tree.unflatten(jax.tree.structure(padded), outs),
+            halo_store,
+        )
+
+    padded = lax.fori_loop(0, n_passes, pass_body, padded)
+    return jax.tree.map(
+        lambda a, like: decode_store(
+            lax.slice(a, (hp_pad, 0), (hp_pad + H, W)), like
+        ),
+        padded,
+        arrays,
+    )
+
+
+class StencilUpdate(StencilUpdateBase):
+    """Tiling (strip temporal-blocking) stencil updater.
+
+    Extra keyword options (the analog of the reference's tuned template
+    parameters, ``tiling/StencilUpdate.hpp:69-80``):
+
+    * ``strip_rows`` — core rows per strip (auto: sized to the VMEM budget).
+    * ``iters_per_pass`` — temporal parallelism p, iterations fused per HBM
+      round trip (auto: ~33% halo overhead).
+    * ``interpret`` — force Pallas interpreter mode (auto: off-TPU only).
+    """
+
+    def __init__(
+        self,
+        params,
+        *,
+        strip_rows: int | None = None,
+        iters_per_pass: int | None = None,
+        interpret: bool | None = None,
+    ):
+        super().__init__(params)
+        self.strip_rows = strip_rows
+        self.iters_per_pass = iters_per_pass
+        self.interpret = interpret
+
+    def _update(self, grid: Grid) -> Grid:
+        p = self.params
+        tf = p.transition_function
+        strategy = self._tdv_strategy()
+        halo_cell = resolve_halo(p.halo_value, grid)
+        n = int(p.n_iterations)
+
+        strip_rows, iters_per_pass = pick_config(
+            grid.arrays,
+            tf.stencil_radius,
+            tf.n_subiterations,
+            n,
+            self.strip_rows,
+            self.iters_per_pass,
+        )
+        offset = jnp.asarray(p.iteration_offset, jnp.int32)
+        tdv_aux = strategy.prepare(tf, int(p.iteration_offset), n)
+        interpret = (
+            self.interpret if self.interpret is not None else should_interpret()
+        )
+        out = _run_tiling(
+            grid.arrays,
+            tf,
+            halo_cell,
+            offset,
+            tdv_aux,
+            radius=tf.stencil_radius,
+            n_subiterations=tf.n_subiterations,
+            n_iterations=n,
+            strategy=strategy,
+            strip_rows=strip_rows,
+            iters_per_pass=iters_per_pass,
+            interpret=interpret,
+        )
+        return Grid(out)

@@ -1,0 +1,115 @@
+"""Analytic performance model for stencil updates on TPU.
+
+Port of the reference's model math (``scripts/benchmark-common.jl``):
+
+* the reference bounds effective clock by link/memory width and models
+  runtime as pipeline latency + steady-state trip count (:75-167);
+* its GPU roofline is ``cells/s = 0.8 * HBM_BW / (2 * cell_size)`` — one
+  read + one write per cell per iteration (:148-151,197-199).
+
+On TPU the same roofline applies per pass, and temporal blocking (p fused
+iterations per HBM round trip) multiplies it by ``p / (1 + overhead)`` where
+overhead is the redundant halo fraction — the strip-tiling analog of the
+reference's tile-halo trip-count model (:126-167). A compute ceiling from the
+VPU bounds arithmetic-heavy kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["TpuSpec", "roofline_cells_per_s", "predicted_runtime", "model_report"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuSpec:
+    """Per-chip hardware envelope. Defaults: TPU v5e (v5 lite)."""
+
+    name: str = "tpu-v5e"
+    hbm_bandwidth: float = 819e9  # bytes/s
+    hbm_efficiency: float = 0.8  # achievable fraction (matches the
+    # reference's 0.8 derate, benchmark-common.jl:148)
+    vpu_flops: float = 3.9e12  # f32 vector ops/s (VPU, not MXU)
+    vmem_bytes: int = 128 * 1024 * 1024
+
+    @staticmethod
+    def detect() -> "TpuSpec":
+        try:
+            import jax
+
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            return TpuSpec()
+        if "v5 lite" in kind or "v5e" in kind:
+            return TpuSpec()
+        if "v5p" in kind or "v5" in kind:
+            return TpuSpec(name="tpu-v5p", hbm_bandwidth=2765e9, vpu_flops=11.7e12)
+        if "v4" in kind:
+            return TpuSpec(name="tpu-v4", hbm_bandwidth=1228e9, vpu_flops=8.9e12)
+        if "v6" in kind:
+            return TpuSpec(name="tpu-v6e", hbm_bandwidth=1640e9, vpu_flops=7.9e12)
+        return TpuSpec(name=kind)
+
+
+def roofline_cells_per_s(spec: TpuSpec, cell_bytes: int) -> float:
+    """Single-pass HBM roofline: one read + one write per cell per iteration
+    (the reference's GPU model, ``benchmark-common.jl:148-151``)."""
+    return spec.hbm_efficiency * spec.hbm_bandwidth / (2.0 * cell_bytes)
+
+
+def predicted_runtime(
+    spec: TpuSpec,
+    grid_cells: int,
+    n_iterations: int,
+    cell_bytes: int,
+    *,
+    iters_per_pass: int = 1,
+    halo_overhead: float = 0.0,
+    flops_per_cell: float = 0.0,
+) -> float:
+    """Model runtime for a temporally-blocked run.
+
+    Per pass of ``p = iters_per_pass`` iterations the grid is read once with
+    ``(1 + halo_overhead)`` redundancy and written once; compute is
+    ``p * flops_per_cell`` per core cell. Runtime per pass = max(memory,
+    compute) — the bandwidth/compute roofline crossover, the TPU analog of
+    the reference's effective-clock bound (``benchmark-common.jl:75-96``).
+    """
+    p = max(iters_per_pass, 1)
+    n_passes = -(-n_iterations // p)
+    bytes_per_pass = grid_cells * cell_bytes * (2.0 + halo_overhead)
+    mem_time = bytes_per_pass / (spec.hbm_efficiency * spec.hbm_bandwidth)
+    compute_time = (
+        grid_cells * (1.0 + halo_overhead) * p * flops_per_cell / spec.vpu_flops
+        if flops_per_cell
+        else 0.0
+    )
+    return n_passes * max(mem_time, compute_time)
+
+
+def model_report(
+    spec: TpuSpec,
+    grid_cells: int,
+    n_iterations: int,
+    cell_bytes: int,
+    measured_walltime: float,
+    **model_kwargs,
+) -> dict:
+    """Measured vs modeled, in the reference's report vocabulary
+    (``benchmark-common.jl:124-173``): ``measured_throughput``,
+    ``model_accuracy`` (measured/modeled), ``occupancy``
+    (measured vs single-pass roofline)."""
+    measured = grid_cells * n_iterations / measured_walltime
+    modeled_t = predicted_runtime(
+        spec, grid_cells, n_iterations, cell_bytes, **model_kwargs
+    )
+    modeled = grid_cells * n_iterations / modeled_t if modeled_t else float("inf")
+    roof = roofline_cells_per_s(spec, cell_bytes)
+    return {
+        "hardware": spec.name,
+        "measured_cells_per_s": measured,
+        "modeled_cells_per_s": modeled,
+        "model_accuracy": measured / modeled if modeled else 0.0,
+        "single_pass_roofline_cells_per_s": roof,
+        "occupancy_vs_roofline": measured / roof,
+    }

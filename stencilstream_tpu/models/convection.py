@@ -447,6 +447,8 @@ def run(
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog="convection")
     parser.add_argument("experiment", help="path to experiment JSON")
     parser.add_argument("output_dir")

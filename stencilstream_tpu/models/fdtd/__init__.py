@@ -139,6 +139,8 @@ def run(
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(
         prog="fdtd", description="Nano-photonic disk cavity FDTD simulation"
     )

@@ -134,6 +134,8 @@ def run(grid: Grid, n_iterations: int, backend: str = "auto", kernel=None):
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(
         prog="hotspot", description="Rodinia HotSpot transient thermal simulation"
     )

@@ -229,6 +229,8 @@ def run(grid: Grid, kernel, n_iterations: int, backend: str = "auto"):
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "show-config":
         variant = argv[1] if len(argv) > 1 else "jacobi5_general"

@@ -1,0 +1,120 @@
+"""Multi-device parallelism: meshes and collective halo exchange.
+
+Replaces the reference's entire distributed stack — MPI for rank identity and
+barriers, ``pc2::mpi_queues`` for device assignment, and Intel FPGA I/O pipes
+for board-to-board data (``StencilStream/monotile/StencilUpdate.hpp:154-175``,
+``StencilStream/internal/DualIOPipeKernels.hpp:28``, SURVEY.md §2.7.6-7) —
+with the TPU-native equivalents: a :class:`jax.sharding.Mesh` over the ICI
+fabric, ``shard_map`` for SPMD, and ``lax.ppermute`` for neighbor data
+movement. No out-of-band topology setup (the analog of
+``scripts/setup_io_pipes.py``) is needed; the mesh *is* the topology.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+__all__ = ["make_mesh", "mesh_factor", "exchange_halo", "shift_from"]
+
+
+def mesh_factor(n: int) -> tuple[int, int]:
+    """Factor ``n`` devices into a near-square ``(ny, nx)`` grid (ny <= nx)."""
+    best = (1, n)
+    for ny in range(1, int(math.isqrt(n)) + 1):
+        if n % ny == 0:
+            best = (ny, n // ny)
+    return best
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    shape: tuple[int, int] | None = None,
+    axis_names: tuple[str, str] = ("y", "x"),
+) -> Mesh:
+    """Build a 2D device mesh for spatial domain decomposition.
+
+    The two axes shard grid rows and columns; a 1-device mesh degenerates
+    cleanly so single-chip code paths are identical.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices) if shape is None else shape[0] * shape[1]
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} available"
+        )
+    if shape is None:
+        shape = mesh_factor(n_devices)
+    ny, nx = shape
+    import numpy as np
+
+    dev_grid = np.asarray(devices[: ny * nx]).reshape(ny, nx)
+    return Mesh(dev_grid, axis_names)
+
+
+def shift_from(x: Any, axis_name: str, direction: int, axis_size: int) -> Any:
+    """Receive ``x`` from the neighbor at ``direction`` (-1: previous rank,
+    +1: next rank) along ``axis_name``; mesh-edge devices receive zeros.
+
+    The TPU-native analog of the reference's inter-FPGA send/recv kernels
+    (``internal/DualIOPipeKernels.hpp:28,97``): one ``ppermute`` hop over ICI.
+    """
+    if axis_size == 1:
+        return jax.tree.map(jnp.zeros_like, x)
+    if direction > 0:
+        perm = [(i, i + 1) for i in range(axis_size - 1)]
+    else:
+        perm = [(i + 1, i) for i in range(axis_size - 1)]
+    return jax.tree.map(lambda a: lax.ppermute(a, axis_name, perm), x)
+
+
+def exchange_halo(
+    local: Any,
+    halo: int,
+    axis_names: Sequence[str] = ("y", "x"),
+    axis_sizes: Sequence[int] | None = None,
+) -> Any:
+    """Extend a local block with ``halo`` rows/columns from mesh neighbors.
+
+    Input: cell pytree of ``(h, w)`` leaves (inside ``shard_map``). Output:
+    ``(h + 2*halo, w + 2*halo)`` leaves. Corner data arrives for free by
+    exchanging columns *after* rows are extended (two-phase exchange).
+    Mesh-edge positions receive zeros — callers mask them against the grid
+    bounds (the fused-pass out-of-grid re-mask), which is the analog of the
+    reference's coordinate-based halo substitution
+    (``tiling/internal/HaloTiledInputKernel.hpp:66-107``).
+    """
+    ay, ax = axis_names
+    ny = axis_sizes[0] if axis_sizes else lax.axis_size(ay)
+    nx = axis_sizes[1] if axis_sizes else lax.axis_size(ax)
+
+    def rows(a):
+        top = lax.slice_in_dim(a, a.shape[0] - halo, a.shape[0], axis=0)
+        bot = lax.slice_in_dim(a, 0, halo, axis=0)
+        return top, bot
+
+    tops, bots = zip(*[rows(a) for a in jax.tree.leaves(local)])
+    treedef = jax.tree.structure(local)
+    top_halo = shift_from(jax.tree.unflatten(treedef, list(tops)), ay, +1, ny)
+    bot_halo = shift_from(jax.tree.unflatten(treedef, list(bots)), ay, -1, ny)
+    ext = jax.tree.map(
+        lambda t, c, b: jnp.concatenate([t, c, b], axis=0), top_halo, local, bot_halo
+    )
+
+    def cols(a):
+        left = lax.slice_in_dim(a, a.shape[1] - halo, a.shape[1], axis=1)
+        right = lax.slice_in_dim(a, 0, halo, axis=1)
+        return left, right
+
+    lefts, rights = zip(*[cols(a) for a in jax.tree.leaves(ext)])
+    left_halo = shift_from(jax.tree.unflatten(treedef, list(lefts)), ax, +1, nx)
+    right_halo = shift_from(jax.tree.unflatten(treedef, list(rights)), ax, -1, nx)
+    return jax.tree.map(
+        lambda l, c, r: jnp.concatenate([l, c, r], axis=1), left_halo, ext, right_halo
+    )

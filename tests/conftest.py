@@ -8,7 +8,21 @@ XLA's host platform to expose 8 devices. Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize force-registers the TPU platform with
+# priority over the JAX_PLATFORMS env var; override it at config level so
+# tests really run on the 8-device CPU platform (hermetic + multi-chip).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this box has a single CPU core, so every XLA
+# compile costs ~1 s; caching makes repeat test runs cheap. (Subprocesses
+# spawned by CLI-parity tests inherit these via os.environ.)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

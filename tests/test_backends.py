@@ -1,0 +1,119 @@
+"""Cross-backend contract tests: monotile / tiling / distributed vs the
+reference oracle, driven by the self-verifying probe fixture and a numeric
+kernel — the analog of the reference's backend sweeps
+(``tests/monotile/StencilUpdate.cpp:38-79``, ``tests/tiling/...``)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stencilstream_tpu.core import Grid, Params
+from stencilstream_tpu.backends import create_update
+from stencilstream_tpu.models import jacobi
+
+from probe import ProbeTransFunc, check_probe_grid, make_probe_grid, probe_halo_cell
+
+
+BACKENDS = [
+    ("monotile", {}),
+    ("tiling", dict(strip_rows=8, iters_per_pass=2)),
+    ("distributed", dict(iters_per_pass=2)),
+]
+
+
+def jacobi_oracle(grid_np, coefs, n):
+    ref = np.asarray(grid_np)
+    for _ in range(n):
+        p = np.pad(ref, 1)
+        ref = (
+            coefs[0] * p[:-2, 1:-1]
+            + coefs[1] * p[1:-1, :-2]
+            + coefs[2] * p[2:, 1:-1]
+            + coefs[3] * p[1:-1, 2:]
+            + coefs[4] * p[1:-1, 1:-1]
+        ).astype(np.float32)
+    return ref
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS, ids=lambda b: str(b))
+def test_jacobi_parity(backend, kw):
+    coefs = [0.15, 0.2, 0.25, 0.1, 0.3]
+    kernel = jacobi.make_kernel("jacobi5_general", coefs)
+    grid = jacobi.init_grid(24, 40)
+    up = create_update(
+        Params(transition_function=kernel, n_iterations=5, blocking=True),
+        backend=backend,
+        **kw,
+    )
+    out = up(grid).to_numpy()
+    np.testing.assert_allclose(out, jacobi_oracle(grid.to_numpy(), coefs, 5), rtol=1e-5)
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS, ids=lambda b: str(b))
+@pytest.mark.parametrize("tdv", ["inline", "precompute_on_host", "precompute_on_device"])
+def test_probe_contract(backend, kw, tdv):
+    """Halo handling, iteration/sub-iteration counting, TDV plumbing, and
+    cell-position integrity, asserted from inside the kernel (probe cells),
+    with a non-zero iteration offset and a partial final pass."""
+    up = create_update(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            iteration_offset=2,
+            n_iterations=3,
+            tdv_strategy=tdv,
+        ),
+        backend=backend,
+        **kw,
+    )
+    out = up(make_probe_grid(12, 11, iteration_offset=2))
+    check_probe_grid(out, 5)
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS, ids=lambda b: str(b))
+def test_conway_bool_cells(backend, kw):
+    """bool cells (int8/int32 re-encoding paths) — blinker oscillates."""
+    from stencilstream_tpu.models.conway import ConwayKernel
+
+    g = np.zeros((8, 8), bool)
+    g[3, 2:5] = True  # horizontal blinker
+    up = create_update(
+        Params(
+            transition_function=ConwayKernel(),
+            halo_value=jnp.asarray(False),
+            n_iterations=2,
+            blocking=True,
+        ),
+        backend=backend,
+        **kw,
+    )
+    out = up(Grid.from_numpy(g)).to_numpy()
+    np.testing.assert_array_equal(out, g)
+
+
+def test_mesh_factor():
+    from stencilstream_tpu.parallel import mesh_factor
+
+    assert mesh_factor(8) == (2, 4)
+    assert mesh_factor(4) == (2, 2)
+    assert mesh_factor(1) == (1, 1)
+    assert mesh_factor(6) == (2, 3)
+
+
+def test_distributed_uses_all_devices():
+    import jax
+    from stencilstream_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_monotile_vmem_limit_error():
+    kernel = jacobi.make_kernel("jacobi1_general", [0.5])
+    grid = jacobi.init_grid(8192, 8192)
+    up = create_update(
+        Params(transition_function=kernel, n_iterations=1), backend="monotile"
+    )
+    with pytest.raises(ValueError, match="tiling backend"):
+        up(grid)
