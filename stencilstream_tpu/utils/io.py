@@ -19,6 +19,12 @@ from typing import IO, Iterable, Iterator
 
 import numpy as np
 
+from .. import native as _native
+
+
+def _use_native() -> bool:
+    return _native.available()
+
 __all__ = [
     "read_char_grid",
     "write_char_grid",
@@ -37,7 +43,11 @@ def _tokens(stream: IO[str]) -> Iterator[str]:
 
 def read_char_grid(stream: IO[str], height: int, width: int) -> np.ndarray:
     """Read a ``height*width`` grid of ``X`` (alive) / ``.`` (dead) characters,
-    skipping whitespace like ``std::cin >> char``."""
+    skipping whitespace like ``std::cin >> char``. Dispatches to the native
+    parser (:mod:`stencilstream_tpu.native`) when built."""
+    if _use_native():
+        text = stream.read()
+        return _native.parse_char_grid(text.encode(), height, width)
     out = np.empty((height, width), dtype=bool)
     chars = (ch for line in stream for ch in line if not ch.isspace())
     for r in range(height):
@@ -56,12 +66,18 @@ def read_char_grid(stream: IO[str], height: int, width: int) -> np.ndarray:
 
 
 def write_char_grid(stream: IO[str], grid: np.ndarray) -> None:
+    if _use_native():
+        stream.write(_native.format_char_grid(np.asarray(grid, dtype=bool)).decode())
+        return
     for row in np.asarray(grid, dtype=bool):
         stream.write("".join("X" if v else "." for v in row))
         stream.write("\n")
 
 
 def read_float_grid_text(path: str, height: int, width: int) -> np.ndarray:
+    if _use_native():
+        with open(path, "rb") as f:
+            return _native.parse_floats(f.read(), height * width).reshape(height, width)
     with open(path) as f:
         vals = np.fromiter(_tokens(f), dtype=np.float32, count=height * width)
     return vals.reshape(height, width)
@@ -82,10 +98,18 @@ def write_indexed_text(path: str, grid: np.ndarray) -> None:
     """HotSpot text output: ``<flat index>\\t<value>`` per line
     (``examples/hotspot/hotspot.cpp:156-163``)."""
     flat = np.asarray(grid, dtype=np.float32).ravel()
+    if _use_native():
+        with open(path, "wb") as f:
+            f.write(_native.format_indexed_text(flat))
+        return
     with open(path, "w") as f:
         for i, v in enumerate(flat):
             f.write(f"{i}\t{v:g}\n")
 
 
 def write_csv_frame(path: str, grid: np.ndarray, fmt: str = "%g") -> None:
+    if fmt == "%g" and _use_native():
+        with open(path, "wb") as f:
+            f.write(_native.format_csv(np.asarray(grid)))
+        return
     np.savetxt(path, np.asarray(grid), fmt=fmt, delimiter=",")
