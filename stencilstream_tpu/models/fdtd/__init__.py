@@ -82,6 +82,7 @@ def build_simulation(
     backend: str = "auto",
     tdv_strategy="inline",
     n_iterations: int | None = None,
+    **backend_kwargs,
 ):
     if resolver is None:
         resolver = CoefResolver(parameters)
@@ -98,6 +99,7 @@ def build_simulation(
             tdv_strategy=tdv_strategy,
         ),
         backend=backend,
+        **backend_kwargs,
     )
     return update, resolver
 
