@@ -26,7 +26,7 @@ from .tdv import (
     PrecomputeOnHostTDV,
     TDVStrategy,
 )
-from .backends import reference
+from .backends import available_backends, create_update, reference
 
 __version__ = "0.1.0"
 
@@ -39,7 +39,9 @@ __all__ = [
     "PrecomputeOnHostTDV",
     "Stencil",
     "TDVStrategy",
+    "available_backends",
     "cell_type",
+    "create_update",
     "reference",
     "static_field",
     "transition_function",

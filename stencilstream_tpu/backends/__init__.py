@@ -65,7 +65,14 @@ def _make_distributed(params, **kw):
     return distributed.StencilUpdate(params, **kw)
 
 
+def _make_ring(params, **kw):
+    from . import ring
+
+    return ring.StencilUpdate(params, **kw)
+
+
 register_backend("reference", lambda params, **kw: reference.StencilUpdate(params))
 register_backend("monotile", _make_monotile)
 register_backend("tiling", _make_tiling)
 register_backend("distributed", _make_distributed)
+register_backend("ring", _make_ring)

@@ -15,18 +15,23 @@ This mirrors the reference's own best configurations, which use maximally
 tall tiles for the same reason (``examples/hotspot/hotspot.cpp:120-127``,
 tile 2^16 x 4096). Each Pallas grid step processes one strip:
 
-* input: an *overlapping* window of ``strip_rows + 2*halo`` rows (element-
-  indexed BlockSpec), automatically double-buffered by the Pallas pipeline —
-  the analog of the reference's ``HaloTiledInputKernel``
-  (``tiling/internal/HaloTiledInputKernel.hpp:36``),
-* compute: ``p * n_subiterations`` fused sub-steps with the shrinking-window
-  discipline (:mod:`.fused`), pass-through past the target iteration
-  (partial passes, ``StencilUpdateKernel.hpp:300-310``),
-* output: the strip core, written back in place of the input rows.
+* input: an *overlapping* window of ``strip_rows + 2*halo`` rows
+  (element-indexed BlockSpec with a clamped, alignment-hinted offset),
+  double-buffered by the Pallas pipeline — the analog of the reference's
+  ``HaloTiledInputKernel`` (``tiling/internal/HaloTiledInputKernel.hpp:36``);
+* compute: ``p * n_subiterations`` fused sub-steps at fixed window size with
+  per-step halo re-masking (:mod:`.fused` pad/pad discipline). Rows within
+  ``r*(steps so far)`` of an *interior* window edge go stale and are
+  discarded with the margins — the overlapped-tiling trade; rows at *grid*
+  edges stay exact because the mask injects the true boundary condition.
+  Cells past the target iteration pass through unchanged (partial passes,
+  ``StencilUpdateKernel.hpp:300-310``);
+* output: the strip core, extracted at a window-dependent offset (edge
+  strips have clamped windows) and written through a plain blocked spec.
 
 The multi-pass loop (``ceil(n / p)`` passes, double-buffered grids,
-``tiling/StencilUpdate.hpp:216-247``) runs as a ``lax.fori_loop`` over a
-halo-framed carry array, so the whole update is one XLA computation.
+``tiling/StencilUpdate.hpp:216-247``) runs as a ``lax.fori_loop`` over the
+row-padded carry, so the whole update is one XLA computation.
 
 Grids that fit the monotile VMEM budget should prefer the monotile backend
 (zero redundant compute); this backend exists for everything bigger, exactly
@@ -47,7 +52,13 @@ from ..core.grid import Grid
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
 from .fused import fused_window_pass, halo_width
-from .pallas_util import HoistedFn, Operands, round_up, should_interpret, sublane_multiple
+from .pallas_util import (
+    HoistedFn,
+    Operands,
+    round_up,
+    should_interpret,
+    sublane_multiple,
+)
 
 __all__ = ["StencilUpdate", "TILING_VMEM_BUDGET"]
 
@@ -67,7 +78,8 @@ def _cell_row_bytes(arrays) -> int:
     leaves = jax.tree.leaves(arrays)
     width = leaves[0].shape[1]
     return sum(
-        width * max(jnp.dtype(jnp.int8 if a.dtype == jnp.bool_ else a.dtype).itemsize, 1)
+        width
+        * max(jnp.dtype(jnp.int8 if a.dtype == jnp.bool_ else a.dtype).itemsize, 1)
         for a in leaves
     )
 
@@ -140,12 +152,14 @@ def _run_tiling(
     m = _cell_sublane_multiple(arrays)
     T = strip_rows
     hp = halo_width(r, p, k)
-    # Window offsets (hp_pad + i*T) must stay aligned to the sublane tile m.
-    hp_pad = round_up(hp, m)
-    extra = hp_pad - hp  # window rows left over after shrinking
-    n_strips = -(-H // T)
-    Hp = n_strips * T + 2 * hp_pad
-    win_rows = T + 2 * hp_pad
+    hpm = round_up(hp, m)  # window margin, aligned for element offsets
+    # Interior strips must never clamp (the core offset then takes exactly
+    # three static values: 0, hpm, 2*hpm).
+    T = max(T, hpm)
+    win_rows = T + 2 * hpm
+    # Carry rows: multiple of T (blocked output) and >= one full window.
+    Hs = round_up(max(H, win_rows), T)
+    n_strips = Hs // T
     n_passes = -(-n_iterations // p)
     offset = jnp.asarray(offset, jnp.int32)
     i_target = offset + n_iterations
@@ -156,29 +170,30 @@ def _run_tiling(
     def decode_store(a, like):
         return a.astype(jnp.bool_) if like.dtype == jnp.bool_ else a
 
-    # Halo-framed padded carry: rows [hp_pad, hp_pad+H) hold the grid, the
-    # frame holds the halo value (bool stored as int8 for TPU lane tiling).
-    def make_padded(a, hv):
-        a = encode_store(a, a)
-        hv = jnp.asarray(hv, a.dtype)
-        out = jnp.full((Hp, W), hv, a.dtype)
-        return lax.dynamic_update_slice(out, a, (hp_pad, 0))
-
     halo_store = jax.tree.map(
         lambda hv, a: jnp.asarray(hv, jnp.int8 if a.dtype == jnp.bool_ else a.dtype),
         halo_cell,
         arrays,
     )
+    # Row-padded carry (no halo frame needed: out-of-grid coordinates are
+    # re-masked inside the kernel every sub-step).
     padded = jax.tree.map(
-        lambda a, hv: make_padded(a, hv), arrays, halo_store
+        lambda a, hv: jnp.pad(
+            encode_store(a, a), ((0, Hs - H), (0, 0)), constant_values=hv
+        ),
+        arrays,
+        halo_store,
     )
+
+    def window_origin(i):
+        return jnp.clip(i * T - hpm, 0, Hs - win_rows)
 
     def pure_strip(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
         def tdv_lookup(step, i_abs):
             i_rel = jnp.clip(i_abs - offset, 0, max(n_iterations - 1, 0))
             return strategy.lookup(tf, tdv_aux, i_rel, i_abs)
 
-        out = fused_window_pass(
+        return fused_window_pass(
             window,
             tf,
             halo_cell,
@@ -190,13 +205,10 @@ def _run_tiling(
             radius=r,
             n_subiterations=k,
             n_steps=p,
-            row_mode="shrink",
+            row_mode="pad",
             col_mode="pad",
         )
-        # Shrinking consumed 2*hp of the 2*hp_pad halo; slice the core.
-        return jax.tree.map(lambda a: lax.slice(a, (extra, 0), (extra + T, W)), out)
 
-    # Bools live as int8 in storage but the transition function sees bools.
     def window_decode(w):
         return jax.tree.map(decode_store, w, arrays)
 
@@ -205,30 +217,37 @@ def _run_tiling(
 
     def strip_fn(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
         out = pure_strip(
-            window_decode(window), tf, halo_cell, i_start, origin_row, offset, tdv_aux
+            window_decode(window),
+            tf,
+            halo_cell,
+            i_start,
+            origin_row,
+            offset,
+            tdv_aux,
         )
         return window_encode(out)
 
     example_window = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct((win_rows, W), jnp.int8 if a.dtype == jnp.bool_ else a.dtype),
+        lambda a: jax.ShapeDtypeStruct(
+            (win_rows, W), jnp.int8 if a.dtype == jnp.bool_ else a.dtype
+        ),
         arrays,
     )
-    i_start0 = jnp.asarray(offset, jnp.int32)
-    origin0 = jnp.asarray(0, jnp.int32)
+    i0 = jnp.asarray(0, jnp.int32)
     hoisted = HoistedFn(
-        strip_fn, example_window, tf, halo_cell, i_start0, origin0, offset, tdv_aux
+        strip_fn, example_window, tf, halo_cell, i0, i0, offset, tdv_aux
     )
 
     tf_ops = Operands(tf, vectors_as_refs=False)
     halo_ops = Operands(halo_cell)
-    scal_ops = Operands((i_start0, offset))
+    scal_ops = Operands((i0, offset))
     aux_ops = Operands(tdv_aux, vectors_as_refs=False)
     const_ops = Operands(hoisted.consts, vectors_as_refs=False)
     groups = (scal_ops, tf_ops, halo_ops, aux_ops, const_ops)
     counts = [len(g.values) for g in groups]
 
-    grid_leaves_tpl = jax.tree.leaves(padded)
-    n_fields = len(grid_leaves_tpl)
+    n_fields = len(jax.tree.leaves(padded))
+    store_treedef = jax.tree.structure(padded)
 
     def kernel(*refs):
         it = iter(refs)
@@ -241,40 +260,47 @@ def _run_tiling(
         aux_v = aux_ops.decode(parts[3])
         consts_v = const_ops.decode(parts[4])
 
-        strip = pl.program_id(0)
-        origin_row = strip * T - hp_pad
-        window = jax.tree.unflatten(
-            jax.tree.structure(padded), [wr[:] for wr in win_refs]
-        )
+        i = pl.program_id(0)
+        origin_row = window_origin(i)
+        window = jax.tree.unflatten(store_treedef, [wr[:] for wr in win_refs])
         out = hoisted(
             window,
             tf_v,
             halo_v,
-            i_start_v,
+            jnp.asarray(i_start_v, jnp.int32),
             jnp.asarray(origin_row, jnp.int32),
             offset_v,
             aux_v,
             consts=consts_v,
         )
+
+        # Core extraction. The window-relative core offset is i*T - origin:
+        # 0 for a top-clamped window, 2*hpm for a bottom-clamped one, hpm
+        # otherwise (hpm <= T guarantees only edge strips clamp). Mosaic has
+        # no dynamic value slicing, so select among the three static slices.
+        def pick_core(a):
+            s_first = lax.slice(a, (0, 0), (T, W))
+            s_mid = lax.slice(a, (hpm, 0), (hpm + T, W))
+            s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, W))
+            return jnp.where(
+                i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid)
+            )
+
         for ref, leaf in zip(out_refs, jax.tree.leaves(out)):
-            ref[:] = leaf
+            ref[:] = pick_core(leaf)
 
     win_spec = pl.BlockSpec(
         (pl.Element(win_rows), pl.Element(W)),
-        lambda i: (i * T, 0),
+        lambda i: (pl.multiple_of(window_origin(i), m), 0),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec(
-        (pl.Element(T), pl.Element(W)),
-        lambda i: (hp_pad + i * T, 0),
-        memory_space=pltpu.VMEM,
-    )
+    out_spec = pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     window_bytes = win_rows * _cell_row_bytes(arrays)
 
     def pass_body(i_pass, padded):
         i_start = offset + i_pass * p
-        scal_vals = Operands((i_start, offset)).values
+        scal_vals = Operands((jnp.asarray(i_start, jnp.int32), offset)).values
         outs = pl.pallas_call(
             kernel,
             grid=(n_strips,),
@@ -285,11 +311,13 @@ def _run_tiling(
             ),
             out_specs=[out_spec] * n_fields,
             out_shape=[
-                jax.ShapeDtypeStruct((Hp, W), a.dtype)
+                jax.ShapeDtypeStruct((Hs, W), a.dtype)
                 for a in jax.tree.leaves(padded)
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(int(window_bytes * 8) + (1 << 25), 120 * (1 << 20)),
+                vmem_limit_bytes=min(
+                    int(window_bytes * 8) + (1 << 25), 120 * (1 << 20)
+                ),
             ),
             interpret=interpret,
         )(
@@ -297,33 +325,11 @@ def _run_tiling(
             *[v for g in groups[1:] for v in g.values],
             *jax.tree.leaves(padded),
         )
-        # Restore the halo frame (the kernel writes only strip cores).
-        def fix_frame(a, hv):
-            hv = jnp.asarray(hv, a.dtype)
-            a = lax.dynamic_update_slice(a, jnp.full((hp_pad, W), hv), (0, 0))
-            a = lax.dynamic_update_slice(
-                a, jnp.full((hp_pad, W), hv), (Hp - hp_pad, 0)
-            )
-            # Round-up rows below the grid also stay halo.
-            if n_strips * T > H:
-                a = lax.dynamic_update_slice(
-                    a,
-                    jnp.full((n_strips * T - H, W), hv),
-                    (hp_pad + H, 0),
-                )
-            return a
-
-        return jax.tree.map(
-            fix_frame,
-            jax.tree.unflatten(jax.tree.structure(padded), outs),
-            halo_store,
-        )
+        return jax.tree.unflatten(store_treedef, outs)
 
     padded = lax.fori_loop(0, n_passes, pass_body, padded)
     return jax.tree.map(
-        lambda a, like: decode_store(
-            lax.slice(a, (hp_pad, 0), (hp_pad + H, W)), like
-        ),
+        lambda a, like: decode_store(lax.slice(a, (0, 0), (H, W)), like),
         padded,
         arrays,
     )

@@ -98,11 +98,17 @@ def parse_char_grid(text: bytes, height: int, width: int) -> np.ndarray:
         text, len(text), height, width, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
     if rc < 0:
-        cell = -rc - 1
+        cells = height * width
+        code = -rc - 1
+        if code >= cells:
+            cell = code - cells
+            raise ValueError(
+                f"unexpected character at cell ({cell // width}, {cell % width}); "
+                f"expected 'X' or '.'"
+            )
         raise ValueError(
-            f"character grid truncated or invalid at cell "
-            f"({cell // width}, {cell % width}); expected {height}x{width} "
-            f"cells of 'X'/'.'"
+            f"character grid truncated at cell ({code // width}, {code % width}); "
+            f"expected {height}x{width} cells"
         )
     return out.reshape(height, width).astype(bool)
 

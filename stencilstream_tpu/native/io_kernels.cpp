@@ -20,8 +20,9 @@
 
 extern "C" {
 
-// Parse an 'X'/'.' grid, skipping whitespace. Returns 0, or -(1+cell_index)
-// if the input is truncated / has an unexpected character at cell_index.
+// Parse an 'X'/'.' grid, skipping whitespace. Returns 0 on success,
+// -(1+cell_index) if the input is truncated at cell_index, or
+// -(1+n_cells+cell_index) on an unexpected character at cell_index.
 int64_t ss_parse_char_grid(const char* text, int64_t text_len,
                            int64_t height, int64_t width, uint8_t* out) {
     const char* p = text;
@@ -38,7 +39,7 @@ int64_t ss_parse_char_grid(const char* text, int64_t text_len,
         }
         if (ch == 'X') out[i] = 1;
         else if (ch == '.') out[i] = 0;
-        else return -(1 + i);
+        else return -(1 + cells + i);
     }
     return 0;
 }

@@ -1,0 +1,65 @@
+"""Bench layer: run protocol, metrics persistence, analytic model."""
+
+import json
+
+import numpy as np
+
+from stencilstream_tpu.bench import (
+    TpuSpec,
+    model_report,
+    predicted_runtime,
+    roofline_cells_per_s,
+    run_benchmark,
+    write_metrics,
+)
+
+
+def test_roofline_matches_reference_formula():
+    spec = TpuSpec(hbm_bandwidth=1000e9, hbm_efficiency=0.8)
+    # cells/s = 0.8 * BW / (2 * cell_size)  (benchmark-common.jl:148-151)
+    assert roofline_cells_per_s(spec, 8) == 0.8 * 1000e9 / 16
+
+
+def test_temporal_blocking_speedup():
+    spec = TpuSpec(hbm_bandwidth=1000e9, hbm_efficiency=1.0, vpu_flops=1e18)
+    t1 = predicted_runtime(spec, 10**6, 64, 8, iters_per_pass=1)
+    t16 = predicted_runtime(spec, 10**6, 64, 8, iters_per_pass=16)
+    assert abs(t1 / t16 - 16) < 1e-6  # memory-bound: p-fold fewer passes
+
+
+def test_compute_bound_crossover():
+    spec = TpuSpec(hbm_bandwidth=1e15, hbm_efficiency=1.0, vpu_flops=1e12)
+    t = predicted_runtime(spec, 10**6, 10, 8, iters_per_pass=10, flops_per_cell=100)
+    assert abs(t - 10**6 * 10 * 100 / 1e12) < 1e-9
+
+
+def test_model_report_fields():
+    rep = model_report(TpuSpec(), 10**6, 100, 8, measured_walltime=0.01)
+    assert rep["measured_cells_per_s"] == 10**6 * 100 / 0.01
+    assert 0 < rep["occupancy_vs_roofline"]
+    assert set(rep) >= {"model_accuracy", "single_pass_roofline_cells_per_s"}
+
+
+def test_run_benchmark_and_write_metrics(tmp_path):
+    calls = []
+    result = run_benchmark(
+        lambda: calls.append(1),
+        variant="unit.test",
+        grid_shape=(4, 4),
+        n_iterations=2,
+        cell_bytes=4,
+        flops_per_cell=3,
+        n_samples=2,
+    )
+    assert len(calls) == 3  # warmup + 2 samples
+    assert result.cells_per_s > 0
+    path = write_metrics(result, str(tmp_path))
+    with open(path) as f:
+        data = json.load(f)
+    assert data["variant"] == "unit.test"
+    assert data["grid_shape"] == [4, 4]
+    assert len(data["samples_s"]) == 2
+
+
+def test_detect_never_raises():
+    assert TpuSpec.detect().hbm_bandwidth > 0
