@@ -40,11 +40,10 @@ SAMPLES = 3
 
 
 def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
-    """Min walltime over SAMPLES runs of n_iterations (after warmup)."""
-    warm = make_update(WARMUP_ITERS)
-    warm(grid).block_until_ready()
-
+    """Min walltime over SAMPLES runs of n_iterations (after a warmup run of
+    the same configuration, which triggers the one compile)."""
     update = make_update(n_iterations)
+    update(grid).block_until_ready()  # warmup/compile
     best = float("inf")
     for _ in range(SAMPLES):
         t0 = time.perf_counter()
@@ -53,7 +52,8 @@ def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
     return best
 
 
-def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "tiling"):
+def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
+                  **backend_kwargs):
     from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
     import jax.numpy as jnp
 
@@ -75,6 +75,7 @@ def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "til
                 blocking=True,
             ),
             backend=backend,
+            **backend_kwargs,
         )
 
     wall = bench_update(grid, make_update, n_iterations)
@@ -91,7 +92,8 @@ def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "til
     }
 
 
-def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tiling"):
+def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
+                 **backend_kwargs):
     from stencilstream_tpu.models import jacobi
 
     kernel = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
@@ -101,6 +103,7 @@ def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tili
         return create_update(
             Params(transition_function=kernel, n_iterations=n, blocking=True),
             backend=backend,
+            **backend_kwargs,
         )
 
     wall = bench_update(grid, make_update, n_iterations)
@@ -123,10 +126,11 @@ def main() -> int:
     size = 8192 if on_tpu else 512
     n_iter = 256 if on_tpu else 8
 
+    tiling_cfg = dict(strip_rows=256, iters_per_pass=16) if on_tpu else {}
     results = []
     for fn, label in ((bench_hotspot, "hotspot"), (bench_jacobi, "jacobi")):
         try:
-            r = fn(size=size, n_iterations=n_iter)
+            r = fn(size=size, n_iterations=n_iter, **tiling_cfg)
             results.append(r)
             print(f"[bench] {label}: {r['gcells_per_s']:.2f} GCell/s "
                   f"({r['vs_baseline']:.2f}x baseline)", file=sys.stderr)

@@ -4,7 +4,7 @@ This is the TPU-native replacement for the reference's processing-element
 chain (``StencilStream/monotile/internal/StencilUpdateKernel.hpp:65``,
 ``tiling/internal/StencilUpdateKernel.hpp:59``): where the FPGA unrolls
 ``p * n_subiterations`` PEs in silicon and streams cells through them, we
-unroll the same number of *whole-window* sub-iteration steps in the program,
+apply the same number of *whole-window* sub-iteration steps in the program,
 keeping the window in VMEM/registers between steps.
 
 Per-axis window disciplines, matching the two reference kernels:
@@ -13,11 +13,13 @@ Per-axis window disciplines, matching the two reference kernels:
   edge *is* the grid edge: neighbors beyond it are the halo value, injected
   by constant padding each sub-step (monotile semantics — the grid boundary
   is the halo boundary, ``monotile/internal/StencilUpdateKernel.hpp:36-38``).
-* ``"shrink"`` — overlapped-tiling discipline: the window loses ``radius``
-  cells per side per sub-step, so a window of
-  ``core + 2 * radius * p * n_subiterations`` yields the core after ``p``
-  fused iterations — the exact compound-halo law of the reference's tiling
-  backend (``tiling/internal/StencilUpdateKernel.hpp:79-91``).
+  In an overlapped-tiling setting the same discipline yields windows whose
+  *interior-edge* margins go stale by ``radius`` rows per sub-step — callers
+  discard the stale margins, which is the overlapped-tiling trade.
+* ``"shrink"`` — the window loses ``radius`` cells per side per sub-step, so
+  a window of ``core + 2 * radius * p * n_subiterations`` yields the exact
+  core after ``p`` fused iterations — the compound-halo law of the
+  reference's tiling backend (``tiling/internal/StencilUpdateKernel.hpp:79-91``).
 
 Independent of discipline, out-of-grid window cells are re-masked to the halo
 value after every sub-step — the vectorized equivalent of the reference's
@@ -26,8 +28,10 @@ per-PE coordinate-based halo masking
 iteration index is past the requested target pass through unchanged, the
 reference's partial-pass pass-through (:250-256).
 
-Everything here is plain ``jnp``, so it traces equally well inside a Pallas
-kernel (tiling backend) and inside ``shard_map`` (distributed backend).
+Everything here is plain ``jnp``: it traces inside Pallas kernels (tiling,
+monotile) and inside ``shard_map`` (distributed, ring) alike. Pallas callers
+use :func:`fused_substep` directly (hoisted, with the TDV supplied per step
+by the kernel); XLA callers use :func:`fused_window_pass`.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ from jax import lax
 from ..core.cell import canonicalize_cell
 from ..core.stencil import Stencil
 
-__all__ = ["fused_window_pass", "halo_width"]
+__all__ = ["fused_substep", "fused_window_pass", "halo_width", "mask_out_of_grid"]
 
 
 def halo_width(radius: int, iters_per_pass: int, n_subiterations: int) -> int:
@@ -62,6 +66,117 @@ def _pad_axis(window: Any, halo_cell: Any, r: int, axis: int) -> Any:
     return jax.tree.map(pad_leaf, window, halo_cell)
 
 
+def mask_out_of_grid(
+    window: Any,
+    halo_cell: Any,
+    origin: tuple[Any, Any],
+    grid_range: tuple[Any, Any],
+) -> Any:
+    """Replace out-of-grid window positions with the halo value (the
+    reference's insertion-time substitution,
+    ``tiling/internal/HaloTiledInputKernel.hpp:66-107``)."""
+    h, w = jax.tree.leaves(window)[0].shape
+    H, W = grid_range
+    row = lax.broadcasted_iota(jnp.int32, (h, w), 0) + jnp.asarray(origin[0], jnp.int32)
+    col = lax.broadcasted_iota(jnp.int32, (h, w), 1) + jnp.asarray(origin[1], jnp.int32)
+    oog = (row < 0) | (row >= H) | (col < 0) | (col >= W)
+    return jax.tree.map(
+        lambda a, hv: jnp.where(oog, jnp.asarray(hv, a.dtype), a),
+        window,
+        halo_cell,
+    )
+
+
+def fused_substep(
+    window: Any,
+    tf: Any,
+    halo_cell: Any,
+    row0: Any,
+    col0: Any,
+    grid_range: tuple[Any, Any],
+    i_abs: Any,
+    tdv: Any,
+    active: Any,
+    *,
+    radius: int,
+    n_subiterations: int,
+    row_mode: str = "pad",
+    col_mode: str = "pad",
+    oog_mask: Any = None,
+) -> tuple[Any, Any, Any]:
+    """One fused iteration (all ``n_subiterations`` phases) over a window.
+
+    Returns ``(window, row0, col0)``; each ``"shrink"`` axis is smaller by
+    ``2 * radius * n_subiterations`` with its origin advanced accordingly.
+    Pure in all arguments — safe to hoist for Pallas (the TDV is an input,
+    so per-step lookup stays outside, where refs can be indexed).
+
+    ``oog_mask``: precomputed out-of-grid boolean mask of the window
+    (pad/pad geometry is loop-invariant, so callers hoist it out of the step
+    loop instead of re-deriving the coordinate compares each sub-step; the
+    coordinate iotas themselves are dead-code-eliminated when the transition
+    function does not read ``stencil.id``).
+    """
+    r = radius
+    H, W = grid_range
+    row0 = jnp.asarray(row0, jnp.int32)
+    col0 = jnp.asarray(col0, jnp.int32)
+
+    for sub in range(n_subiterations):
+        h, w = jax.tree.leaves(window)[0].shape
+        src = window
+        # Along "pad" axes the slice origin shifts by r into the padding;
+        # along "shrink" axes it stays and the output loses 2r cells.
+        if row_mode == "pad":
+            src = _pad_axis(src, halo_cell, r, 0)
+            nh = h
+        else:
+            nh = h - 2 * r
+            row0 = row0 + r
+        if col_mode == "pad":
+            src = _pad_axis(src, halo_cell, r, 1)
+            nw = w
+        else:
+            nw = w - 2 * r
+            col0 = col0 + r
+
+        def neighbor(dr: int, dc: int, _src=src, _nh=nh, _nw=nw):
+            return jax.tree.map(
+                lambda a: lax.slice(
+                    a, (r + dr, r + dc), (r + dr + _nh, r + dc + _nw)
+                ),
+                _src,
+            )
+
+        row = lax.broadcasted_iota(jnp.int32, (nh, nw), 0) + row0
+        col = lax.broadcasted_iota(jnp.int32, (nh, nw), 1) + col0
+
+        stencil = Stencil(
+            neighbor_fn=neighbor,
+            radius=r,
+            id=(row, col),
+            grid_range=grid_range,
+            iteration=i_abs,
+            subiteration=sub,
+            time_dependent_value=tdv,
+        )
+        center = stencil[0, 0]
+        new = canonicalize_cell(tf(stencil), center)
+        # Partial-pass pass-through (scalar predicate, vectorized select).
+        new = jax.tree.map(lambda n, c: jnp.where(active, n, c), new, center)
+        # Halo re-mask: out-of-grid positions always present halo_value.
+        if oog_mask is not None and row_mode == "pad" and col_mode == "pad":
+            out_of_grid = oog_mask
+        else:
+            out_of_grid = (row < 0) | (row >= H) | (col < 0) | (col >= W)
+        window = jax.tree.map(
+            lambda n, hv: jnp.where(out_of_grid, jnp.asarray(hv, n.dtype), n),
+            new,
+            halo_cell,
+        )
+    return window, row0, col0
+
+
 def fused_window_pass(
     window: Any,
     tf: Any,
@@ -78,95 +193,51 @@ def fused_window_pass(
     row_mode: str = "shrink",
     col_mode: str = "pad",
 ) -> Any:
-    """Apply ``n_steps`` fused iterations to a window of cells.
+    """Apply ``n_steps`` fused iterations to a window of cells (XLA callers).
 
     Args:
       window: cell pytree of ``(h, w)`` arrays. A ``"shrink"`` axis must
         exceed ``2 * radius * n_steps * n_subiterations``.
       origin: global (row, col) of ``window[0, 0]`` (traced values ok).
-      grid_range: logical grid extent ``(H, W)`` for halo masking and
-        ``stencil.grid_range`` (traced values ok when modes permit).
+      grid_range: logical grid extent ``(H, W)``.
       i_start: absolute iteration index of the first fused step.
       i_target: absolute end iteration; steps at/after it pass cells through
         unchanged (partial-pass support, enables fixed-shape pass loops).
-      tdv_lookup: ``(step, i_abs) -> tdv``, traced per fused step; ``step``
-        counts fused steps within this pass.
-      row_mode / col_mode: ``"shrink"`` or ``"pad"`` (see module docstring).
+      tdv_lookup: ``(step, i_abs) -> tdv``, traced per step.
 
-    Returns the final window pytree; each ``"shrink"`` axis is smaller by
-    ``2 * radius * n_steps * n_subiterations`` and its origin advanced by
-    half that.
+    Returns the final window pytree.
     """
-    r = radius
-    H, W = grid_range
     row0 = jnp.asarray(origin[0], jnp.int32)
     col0 = jnp.asarray(origin[1], jnp.int32)
 
-    # Pre-mask: out-of-grid window positions must present the halo value at
-    # the first sub-step too (mesh-edge ppermute halos arrive as zeros; the
-    # reference substitutes at insertion time,
-    # ``tiling/internal/HaloTiledInputKernel.hpp:66-107``).
-    h0, w0 = jax.tree.leaves(window)[0].shape
-    row_in = lax.broadcasted_iota(jnp.int32, (h0, w0), 0) + row0
-    col_in = lax.broadcasted_iota(jnp.int32, (h0, w0), 1) + col0
-    oog_in = (row_in < 0) | (row_in >= H) | (col_in < 0) | (col_in >= W)
-    window = jax.tree.map(
-        lambda a, hv: jnp.where(oog_in, jnp.asarray(hv, a.dtype), a),
-        window,
-        halo_cell,
-    )
+    # Out-of-grid window positions must present the halo value at the first
+    # sub-step too (mesh-edge ppermute halos arrive as zeros).
+    window = mask_out_of_grid(window, halo_cell, (row0, col0), grid_range)
 
-    for step in range(n_steps):
+    def one_step(step, window, row0, col0):
         i_abs = i_start + step
-        tdv = tdv_lookup(step, i_abs)
-        active = i_abs < i_target
-        for sub in range(n_subiterations):
-            h, w = jax.tree.leaves(window)[0].shape
-            src = window
-            # Along "pad" axes the slice origin shifts by r into the padding;
-            # along "shrink" axes it stays and the output loses 2r cells.
-            if row_mode == "pad":
-                src = _pad_axis(src, halo_cell, r, 0)
-                nh = h
-            else:
-                nh = h - 2 * r
-                row0 = row0 + r
-            if col_mode == "pad":
-                src = _pad_axis(src, halo_cell, r, 1)
-                nw = w
-            else:
-                nw = w - 2 * r
-                col0 = col0 + r
+        return fused_substep(
+            window,
+            tf,
+            halo_cell,
+            row0,
+            col0,
+            grid_range,
+            i_abs,
+            tdv_lookup(step, i_abs),
+            i_abs < i_target,
+            radius=radius,
+            n_subiterations=n_subiterations,
+            row_mode=row_mode,
+            col_mode=col_mode,
+        )
 
-            def neighbor(dr: int, dc: int, _src=src, _nh=nh, _nw=nw):
-                return jax.tree.map(
-                    lambda a: lax.slice(
-                        a, (r + dr, r + dc), (r + dr + _nh, r + dc + _nw)
-                    ),
-                    _src,
-                )
-
-            row = lax.broadcasted_iota(jnp.int32, (nh, nw), 0) + row0
-            col = lax.broadcasted_iota(jnp.int32, (nh, nw), 1) + col0
-
-            stencil = Stencil(
-                neighbor_fn=neighbor,
-                radius=r,
-                id=(row, col),
-                grid_range=grid_range,
-                iteration=i_abs,
-                subiteration=sub,
-                time_dependent_value=tdv,
-            )
-            center = stencil[0, 0]
-            new = canonicalize_cell(tf(stencil), center)
-            # Partial-pass pass-through (scalar predicate, vectorized select).
-            new = jax.tree.map(lambda n, c: jnp.where(active, n, c), new, center)
-            # Halo re-mask: out-of-grid positions always present halo_value.
-            out_of_grid = (row < 0) | (row >= H) | (col < 0) | (col >= W)
-            window = jax.tree.map(
-                lambda n, hv: jnp.where(out_of_grid, jnp.asarray(hv, n.dtype), n),
-                new,
-                halo_cell,
-            )
+    if row_mode == "pad" and col_mode == "pad":
+        # Shape-invariant: roll the step loop (compile scales with k, not p*k).
+        window = lax.fori_loop(
+            0, n_steps, lambda s, w: one_step(s, w, row0, col0)[0], window
+        )
+    else:
+        for step in range(n_steps):
+            window, row0, col0 = one_step(step, window, row0, col0)
     return window

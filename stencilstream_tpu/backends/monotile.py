@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.grid import Grid
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
-from .pallas_util import HoistedFn, Operands, should_interpret
+from .pallas_util import HoistedFn, KernelTDV, Operands, should_interpret
 from .reference import single_subiteration
 
 __all__ = ["StencilUpdate", "MONOTILE_VMEM_BUDGET"]
@@ -86,37 +86,31 @@ def _run_monotile(
     if isinstance(strategy, PrecomputeOnDeviceTDV):
         tdv_aux = strategy.precompute_traced(tf, offset, n_iterations)
 
-    def pure_run(arrays, tf, halo_cell, offset, tdv_aux):
-        def iter_body(i, cur):
-            i_abs = offset + i
-            tdv = strategy.lookup(tf, tdv_aux, i, i_abs)
-            for sub in range(n_subiterations):
-                cur = single_subiteration(
-                    cur, tf, halo_cell, i_abs, sub, tdv, radius=radius
-                )
-            return cur
+    offset = jnp.asarray(offset, jnp.int32)
+    # Mosaic cannot dynamically index *values*, so the per-iteration TDV is
+    # looked up in-kernel through refs / a hoisted inline call.
+    ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
 
-        if unroll and n_iterations <= unroll:
-            cur = arrays
-            for i in range(n_iterations):
-                cur = iter_body(i, cur)
-            return cur
-        return lax.fori_loop(0, n_iterations, iter_body, arrays, unroll=unroll or 1)
+    def step_fn(arrays, tf, halo_cell, i_abs, tdv):
+        for sub in range(n_subiterations):
+            arrays = single_subiteration(
+                arrays, tf, halo_cell, i_abs, sub, tdv, radius=radius
+            )
+        return arrays
 
     # Transition functions freely capture jnp constants (coefficient tables,
     # LUT arrays, module-level constants...). Pallas kernels may not close
     # over array constants, so hoist them into explicit operands.
-    offset = jnp.asarray(offset, jnp.int32)
-    hoisted = HoistedFn(pure_run, arrays, tf, halo_cell, offset, tdv_aux)
+    hoisted_step = HoistedFn(step_fn, arrays, tf, halo_cell, offset, ktdv.example)
 
     grid_ops = Operands(arrays)
     tf_ops = Operands(tf, vectors_as_refs=False)
     halo_ops = Operands(halo_cell)
     off_ops = Operands(offset)
-    aux_ops = Operands(tdv_aux, vectors_as_refs=False)
-    const_ops = Operands(hoisted.consts, vectors_as_refs=False)
-    groups = (off_ops, grid_ops, tf_ops, halo_ops, aux_ops, const_ops)
-    counts = [len(g.values) for g in groups]
+    const_ops = Operands(hoisted_step.consts, vectors_as_refs=False)
+    groups = (off_ops, grid_ops, tf_ops, halo_ops, const_ops)
+    counts = [len(g.values) for g in groups] + [len(ktdv.operands)]
+    grid_treedef = jax.tree.structure(arrays)
 
     def kernel(*refs):
         it = iter(refs)
@@ -126,12 +120,32 @@ def _run_monotile(
         arrays_v = grid_ops.decode(parts[1])
         tf_v = tf_ops.decode(parts[2])
         halo_v = halo_ops.decode(parts[3])
-        aux_v = aux_ops.decode(parts[4])
-        consts_v = const_ops.decode(parts[5])
+        consts_v = const_ops.decode(parts[4])
+        tdv_decoded = ktdv.decode(parts[5])
 
-        cur = hoisted(arrays_v, tf_v, halo_v, offset_v, aux_v, consts=consts_v)
+        def iter_body(i, leaves):
+            i_abs = offset_v + i
+            tdv = ktdv.lookup(tdv_decoded, tf_v, i, i_abs)
+            cur = hoisted_step(
+                jax.tree.unflatten(grid_treedef, leaves),
+                tf_v,
+                halo_v,
+                jnp.asarray(i_abs, jnp.int32),
+                tdv,
+                consts=consts_v,
+            )
+            return jax.tree.leaves(cur)
 
-        for ref, leaf in zip(out_refs, jax.tree.leaves(cur)):
+        leaves = jax.tree.leaves(arrays_v)
+        if unroll and n_iterations <= unroll:
+            for i in range(n_iterations):
+                leaves = iter_body(i, leaves)
+        else:
+            leaves = lax.fori_loop(
+                0, n_iterations, iter_body, leaves, unroll=unroll or 1
+            )
+
+        for ref, leaf in zip(out_refs, leaves):
             a = jnp.asarray(leaf)
             if a.dtype == jnp.bool_:
                 a = a.astype(jnp.int8)
@@ -143,7 +157,7 @@ def _run_monotile(
         out_shape=[
             jax.ShapeDtypeStruct(v.shape, v.dtype) for v in grid_ops.values
         ],
-        in_specs=[s for g in groups for s in g.specs],
+        in_specs=[s for g in groups for s in g.specs] + list(ktdv.specs),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in grid_ops.values],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
@@ -152,7 +166,7 @@ def _run_monotile(
             ),
         ),
         interpret=interpret,
-    )(*[v for g in groups for v in g.values])
+    )(*[v for g in groups for v in g.values], *ktdv.operands)
 
     leaves = []
     for v, dt in zip(out, grid_ops.dtypes):

@@ -94,14 +94,14 @@ class Operands:
     def __len__(self) -> int:
         return len(self.values)
 
-    def decode(self, refs) -> Any:
+    def decode(self, refs, as_refs: bool = False) -> Any:
         leaves = []
         for ref, m, dt, nd in zip(refs, self.modes, self.dtypes, self.ndims):
             if m == "smem_scalar":
                 v = ref[0, 0]
                 if dt == jnp.bool_:
                     v = v.astype(jnp.bool_)
-            elif m == "smem_vector":
+            elif m == "smem_vector" or as_refs:
                 v = ref  # indexed per step by consumers
             else:
                 v = ref[:]
@@ -141,6 +141,70 @@ class HoistedFn:
 
         outs = core.eval_jaxpr(self.jaxpr, list(consts), *flat)
         return jax.tree.unflatten(self.out_tree, outs)
+
+
+class KernelTDV:
+    """Per-step TDV access inside a Pallas kernel.
+
+    Mosaic has no dynamic slicing of *values*, so the per-iteration TDV
+    stream cannot be indexed as an array inside the kernel. This helper
+    splits the strategies into kernel-compatible pieces:
+
+    * inline — ``tf.get_time_dependent_value(i_abs)`` hoisted (its closure
+      constants become operands),
+    * precomputed (host/device) — the stacked aux rides in SMEM/VMEM refs
+      and is indexed per step with supported ref reads,
+    * no TDV — ``None``.
+
+    Usage: construct outside the kernel (inside jit); pass ``operands`` /
+    ``specs`` through the pallas call; inside the kernel, ``decode`` the ref
+    group then call ``lookup`` per step.
+    """
+
+    def __init__(self, strategy, tf, tdv_aux, n_iterations: int):
+        from ..tdv import InlineTDV
+
+        self.example = jax.eval_shape(
+            lambda: strategy.lookup(tf, tdv_aux, 0, jnp.asarray(0, jnp.int32))
+        )
+        self.inline = isinstance(strategy, InlineTDV)
+        if self.inline:
+            self.hoisted = HoistedFn(
+                lambda tf, i: tf.get_time_dependent_value(i),
+                tf,
+                jnp.asarray(0, jnp.int32),
+            )
+            self.aux_ops = Operands(None)
+            self.const_ops = Operands(self.hoisted.consts, vectors_as_refs=False)
+        else:
+            self.hoisted = None
+            self.aux_ops = Operands(tdv_aux)
+            self.const_ops = Operands([], vectors_as_refs=False)
+        self.operands = list(self.aux_ops.values) + list(self.const_ops.values)
+        self.specs = list(self.aux_ops.specs) + list(self.const_ops.specs)
+
+    def decode(self, refs):
+        n_aux = len(self.aux_ops.values)
+        return (
+            self.aux_ops.decode(refs[:n_aux], as_refs=True),
+            self.const_ops.decode(refs[n_aux:]),
+        )
+
+    def lookup(self, decoded, tf_v, i_rel, i_abs):
+        """Per-step TDV, shaped like ``self.example``."""
+        aux_v, consts_v = decoded
+        if self.inline:
+            return self.hoisted(tf_v, jnp.asarray(i_abs, jnp.int32), consts=consts_v)
+        if not len(self.aux_ops.values):
+            return None
+        vals = jax.tree.map(lambda ref: ref[i_rel], aux_v)
+        # Conform to the strategy's value shapes (VMEM-encoded 1-D streams
+        # index to (1,) instead of scalars).
+        return jax.tree.map(
+            lambda v, ex: v if v.shape == ex.shape else v.reshape(ex.shape),
+            vals,
+            self.example,
+        )
 
 
 def should_interpret() -> bool:

@@ -51,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.grid import Grid
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
-from .fused import fused_window_pass, halo_width
+from .fused import fused_substep, halo_width
 from .pallas_util import (
     HoistedFn,
+    KernelTDV,
     Operands,
     round_up,
     should_interpret,
@@ -188,63 +189,51 @@ def _run_tiling(
     def window_origin(i):
         return jnp.clip(i * T - hpm, 0, Hs - win_rows)
 
-    def pure_strip(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
-        def tdv_lookup(step, i_abs):
-            i_rel = jnp.clip(i_abs - offset, 0, max(n_iterations - 1, 0))
-            return strategy.lookup(tf, tdv_aux, i_rel, i_abs)
-
-        return fused_window_pass(
-            window,
-            tf,
-            halo_cell,
-            origin=(origin_row, 0),
-            grid_range=(H, W),
-            i_start=i_start,
-            i_target=i_target,
-            tdv_lookup=tdv_lookup,
-            radius=r,
-            n_subiterations=k,
-            n_steps=p,
-            row_mode="pad",
-            col_mode="pad",
-        )
-
     def window_decode(w):
         return jax.tree.map(decode_store, w, arrays)
 
     def window_encode(w):
         return jax.tree.map(encode_store, w, arrays)
 
-    def strip_fn(window, tf, halo_cell, i_start, origin_row, offset, tdv_aux):
-        out = pure_strip(
-            window_decode(window),
+    # Mosaic cannot dynamically index *values*, so the per-iteration TDV is
+    # looked up in-kernel through refs / a hoisted inline call, and the
+    # hoisted step takes it as an argument.
+    ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
+
+    def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, tdv):
+        out, _, _ = fused_substep(
+            window,
             tf,
             halo_cell,
-            i_start,
             origin_row,
-            offset,
-            tdv_aux,
+            jnp.asarray(0, jnp.int32),
+            (H, W),
+            i_abs,
+            tdv,
+            i_abs < i_target,
+            radius=r,
+            n_subiterations=k,
+            row_mode="pad",
+            col_mode="pad",
+            oog_mask=oog_mask,
         )
-        return window_encode(out)
+        return out
 
     example_window = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(
-            (win_rows, W), jnp.int8 if a.dtype == jnp.bool_ else a.dtype
-        ),
-        arrays,
+        lambda a: jax.ShapeDtypeStruct((win_rows, W), a.dtype), arrays
     )
+    example_mask = jax.ShapeDtypeStruct((win_rows, W), jnp.bool_)
     i0 = jnp.asarray(0, jnp.int32)
-    hoisted = HoistedFn(
-        strip_fn, example_window, tf, halo_cell, i0, i0, offset, tdv_aux
+    hoisted_step = HoistedFn(
+        step_fn, example_window, tf, halo_cell, i0, example_mask, i0, ktdv.example
     )
 
     tf_ops = Operands(tf, vectors_as_refs=False)
     halo_ops = Operands(halo_cell)
     scal_ops = Operands((i0, offset))
-    aux_ops = Operands(tdv_aux, vectors_as_refs=False)
-    const_ops = Operands(hoisted.consts, vectors_as_refs=False)
-    groups = (scal_ops, tf_ops, halo_ops, aux_ops, const_ops)
-    counts = [len(g.values) for g in groups]
+    const_ops = Operands(hoisted_step.consts, vectors_as_refs=False)
+    groups = (scal_ops, tf_ops, halo_ops, const_ops)
+    counts = [len(g.values) for g in groups] + [len(ktdv.operands)]
 
     n_fields = len(jax.tree.leaves(padded))
     store_treedef = jax.tree.structure(padded)
@@ -257,21 +246,38 @@ def _run_tiling(
         i_start_v, offset_v = scal_ops.decode(parts[0])
         tf_v = tf_ops.decode(parts[1])
         halo_v = halo_ops.decode(parts[2])
-        aux_v = aux_ops.decode(parts[3])
-        consts_v = const_ops.decode(parts[4])
+        consts_v = const_ops.decode(parts[3])
+        tdv_decoded = ktdv.decode(parts[4])
 
         i = pl.program_id(0)
-        origin_row = window_origin(i)
-        window = jax.tree.unflatten(store_treedef, [wr[:] for wr in win_refs])
-        out = hoisted(
-            window,
-            tf_v,
-            halo_v,
-            jnp.asarray(i_start_v, jnp.int32),
-            jnp.asarray(origin_row, jnp.int32),
-            offset_v,
-            aux_v,
-            consts=consts_v,
+        origin_row = jnp.asarray(window_origin(i), jnp.int32)
+        window = window_decode(
+            jax.tree.unflatten(store_treedef, [wr[:] for wr in win_refs])
+        )
+        # Loop-invariant out-of-grid mask (grid cols span the full width, so
+        # only the row coordinate matters).
+        wrow = lax.broadcasted_iota(jnp.int32, (win_rows, W), 0) + origin_row
+        oog = wrow >= H
+
+        def step_body(s, leaves):
+            i_abs = i_start_v + s
+            i_rel = jnp.clip(i_abs - offset_v, 0, max(n_iterations - 1, 0))
+            tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
+            w = hoisted_step(
+                jax.tree.unflatten(jax.tree.structure(arrays), leaves),
+                tf_v,
+                halo_v,
+                origin_row,
+                oog,
+                jnp.asarray(i_abs, jnp.int32),
+                tdv,
+                consts=consts_v,
+            )
+            return jax.tree.leaves(w)
+
+        leaves = lax.fori_loop(0, p, step_body, jax.tree.leaves(window))
+        out = window_encode(
+            jax.tree.unflatten(jax.tree.structure(arrays), leaves)
         )
 
         # Core extraction. The window-relative core offset is i*T - origin:
@@ -307,6 +313,7 @@ def _run_tiling(
             in_specs=(
                 list(scal_ops.specs)
                 + [s for g in groups[1:] for s in g.specs]
+                + list(ktdv.specs)
                 + [win_spec] * n_fields
             ),
             out_specs=[out_spec] * n_fields,
@@ -323,6 +330,7 @@ def _run_tiling(
         )(
             *scal_vals,
             *[v for g in groups[1:] for v in g.values],
+            *ktdv.operands,
             *jax.tree.leaves(padded),
         )
         return jax.tree.unflatten(store_treedef, outs)
