@@ -123,14 +123,31 @@ def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tili
 def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     details = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
-    size = 8192 if on_tpu else 512
-    n_iter = 256 if on_tpu else 8
 
-    tiling_cfg = dict(strip_rows=256, iters_per_pass=16) if on_tpu else {}
+    if on_tpu:
+        cases = [
+            ("hotspot", bench_hotspot,
+             dict(size=8192, n_iterations=256, backend="tiling",
+                  strip_rows=64, iters_per_pass=8)),
+            ("jacobi", bench_jacobi,
+             dict(size=8192, n_iterations=256, backend="tiling",
+                  strip_rows=128, iters_per_pass=16)),
+            ("hotspot_monotile", bench_hotspot,
+             dict(size=2048, n_iterations=256, backend="monotile")),
+            ("jacobi_monotile", bench_jacobi,
+             dict(size=2048, n_iterations=256, backend="monotile")),
+        ]
+    else:
+        cases = [
+            ("hotspot", bench_hotspot, dict(size=512, n_iterations=8)),
+            ("jacobi", bench_jacobi, dict(size=512, n_iterations=8)),
+        ]
+
     results = []
-    for fn, label in ((bench_hotspot, "hotspot"), (bench_jacobi, "jacobi")):
+    for label, fn, kw in cases:
         try:
-            r = fn(size=size, n_iterations=n_iter, **tiling_cfg)
+            r = fn(**kw)
+            r["case"] = label
             results.append(r)
             print(f"[bench] {label}: {r['gcells_per_s']:.2f} GCell/s "
                   f"({r['vs_baseline']:.2f}x baseline)", file=sys.stderr)

@@ -163,17 +163,25 @@ def fused_substep(
         center = stencil[0, 0]
         new = canonicalize_cell(tf(stencil), center)
         # Partial-pass pass-through (scalar predicate, vectorized select).
-        new = jax.tree.map(lambda n, c: jnp.where(active, n, c), new, center)
+        # ``active is True`` (static) means the caller proved the pass full —
+        # skip the select entirely.
+        if active is not True:
+            new = jax.tree.map(lambda n, c: jnp.where(active, n, c), new, center)
         # Halo re-mask: out-of-grid positions always present halo_value.
-        if oog_mask is not None and row_mode == "pad" and col_mode == "pad":
-            out_of_grid = oog_mask
+        # ``oog_mask is False`` (static) means the window is entirely
+        # in-grid and grid-edge-padded — skip the select.
+        if oog_mask is False:
+            window = new
         else:
-            out_of_grid = (row < 0) | (row >= H) | (col < 0) | (col >= W)
-        window = jax.tree.map(
-            lambda n, hv: jnp.where(out_of_grid, jnp.asarray(hv, n.dtype), n),
-            new,
-            halo_cell,
-        )
+            if oog_mask is not None and row_mode == "pad" and col_mode == "pad":
+                out_of_grid = oog_mask
+            else:
+                out_of_grid = (row < 0) | (row >= H) | (col < 0) | (col >= W)
+            window = jax.tree.map(
+                lambda n, hv: jnp.where(out_of_grid, jnp.asarray(hv, n.dtype), n),
+                new,
+                halo_cell,
+            )
     return window, row0, col0
 
 

@@ -101,10 +101,12 @@ def pick_config(
     row_bytes = _cell_row_bytes(arrays)
 
     if strip_rows is None:
-        # Target a strip window of ~1/6 of the VMEM budget (input + output
-        # double buffers + working set), within [m, 1024] rows.
-        target_rows = max(m, min(1024, (TILING_VMEM_BUDGET // 6) // max(row_bytes, 1)))
-        strip_rows = max(m, (target_rows // m) * m)
+        # The kernel's VMEM working set is ~16 window-sized buffers (2+2
+        # pipeline buffers plus Mosaic-materialized sub-step temporaries —
+        # observed empirically from vmem OOM reports). Size the window to
+        # fit, within [m, 1024] core rows.
+        target_win = max(m, min(1024, (TILING_VMEM_BUDGET // 16) // max(row_bytes, 1)))
+        strip_rows = max(m, (target_win * 2 // 3 // m) * m)  # ~1/3 halo margin
     strip_rows = min(round_up(strip_rows, m), round_up(H, m))
 
     if iters_per_pass is None:
@@ -200,6 +202,12 @@ def _run_tiling(
     # hoisted step takes it as an argument.
     ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
 
+    # Static specializations: aligned grids (Hs == H) have no out-of-grid
+    # rows — the halo re-mask select drops out; when n divides evenly into
+    # passes, every pass is full — the pass-through select drops out.
+    aligned = Hs == H
+    has_partial = (n_iterations % p) != 0
+
     def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, tdv):
         out, _, _ = fused_substep(
             window,
@@ -210,12 +218,12 @@ def _run_tiling(
             (H, W),
             i_abs,
             tdv,
-            i_abs < i_target,
+            (i_abs < i_target) if has_partial else True,
             radius=r,
             n_subiterations=k,
             row_mode="pad",
             col_mode="pad",
-            oog_mask=oog_mask,
+            oog_mask=False if aligned else oog_mask,
         )
         return out
 

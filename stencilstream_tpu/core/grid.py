@@ -108,6 +108,11 @@ class Grid:
 
     def block_until_ready(self) -> "Grid":
         jax.tree.map(lambda a: a.block_until_ready(), self.arrays)
+        # Some tunneled/remote PJRT platforms return from block_until_ready
+        # before execution completes; a one-element device-to-host fetch
+        # cannot. This keeps walltime accounting honest everywhere.
+        leaf = jax.tree.leaves(self.arrays)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
         return self
 
     def __repr__(self) -> str:

@@ -205,11 +205,22 @@ class LUTResolver:
 
     def coefficients(self, state, center_cell, distance_score) -> CoefMaterial:
         idx = center_cell.index
+
+        def lookup(table):
+            # Select-sum instead of gather: the table is tiny (<= MAX_N_RINGS
+            # entries) and TPU vector units have no >=2-D gather; a chain of
+            # masked selects vectorizes perfectly (LUTResolver.hpp keeps the
+            # table in PE registers the same way).
+            out = jnp.zeros(jnp.shape(idx), table.dtype)
+            for j in range(table.shape[0]):
+                out = jnp.where(idx == j, table[j], out)
+            return out
+
         return CoefMaterial(
-            ca=jnp.take(state["ca"], idx),
-            cb=jnp.take(state["cb"], idx),
-            da=jnp.take(state["da"], idx),
-            db=jnp.take(state["db"], idx),
+            ca=lookup(state["ca"]),
+            cb=lookup(state["cb"]),
+            da=lookup(state["da"]),
+            db=lookup(state["db"]),
         )
 
 
