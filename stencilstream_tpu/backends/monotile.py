@@ -123,20 +123,34 @@ def _run_monotile(
         consts_v = const_ops.decode(parts[4])
         tdv_decoded = ktdv.decode(parts[5])
 
+        # Loop carries must not be bool (Mosaic miscompiles bool fori
+        # carries); ride int8 and cast at the step boundary.
+        def carry_encode(leaves):
+            return [
+                l.astype(jnp.int8) if dt == jnp.bool_ else l
+                for l, dt in zip(leaves, grid_ops.dtypes)
+            ]
+
+        def carry_decode(leaves):
+            return [
+                l.astype(jnp.bool_) if dt == jnp.bool_ else l
+                for l, dt in zip(leaves, grid_ops.dtypes)
+            ]
+
         def iter_body(i, leaves):
             i_abs = offset_v + i
             tdv = ktdv.lookup(tdv_decoded, tf_v, i, i_abs)
             cur = hoisted_step(
-                jax.tree.unflatten(grid_treedef, leaves),
+                jax.tree.unflatten(grid_treedef, carry_decode(leaves)),
                 tf_v,
                 halo_v,
                 jnp.asarray(i_abs, jnp.int32),
                 tdv,
                 consts=consts_v,
             )
-            return jax.tree.leaves(cur)
+            return carry_encode(jax.tree.leaves(cur))
 
-        leaves = jax.tree.leaves(arrays_v)
+        leaves = carry_encode(jax.tree.leaves(arrays_v))
         if unroll and n_iterations <= unroll:
             for i in range(n_iterations):
                 leaves = iter_body(i, leaves)
@@ -146,10 +160,7 @@ def _run_monotile(
             )
 
         for ref, leaf in zip(out_refs, leaves):
-            a = jnp.asarray(leaf)
-            if a.dtype == jnp.bool_:
-                a = a.astype(jnp.int8)
-            ref[:] = a
+            ref[:] = leaf
 
     grid_bytes = sum(v.size * v.dtype.itemsize for v in grid_ops.values)
     out = pl.pallas_call(

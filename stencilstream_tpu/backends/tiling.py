@@ -259,34 +259,38 @@ def _run_tiling(
 
         i = pl.program_id(0)
         origin_row = jnp.asarray(window_origin(i), jnp.int32)
-        window = window_decode(
-            jax.tree.unflatten(store_treedef, [wr[:] for wr in win_refs])
+        window_stored = jax.tree.unflatten(
+            store_treedef, [wr[:] for wr in win_refs]
         )
         # Loop-invariant out-of-grid mask (grid cols span the full width, so
-        # only the row coordinate matters).
+        # only the row coordinate matters). int8, not bool: Mosaic
+        # miscompiles bool fori carries, so everything crossing the loop
+        # boundary rides in integer form.
         wrow = lax.broadcasted_iota(jnp.int32, (win_rows, W), 0) + origin_row
-        oog = wrow >= H
+        oog8 = (wrow >= H).astype(jnp.int8)
+
+        arrays_treedef = jax.tree.structure(arrays)
 
         def step_body(s, leaves):
             i_abs = i_start_v + s
             i_rel = jnp.clip(i_abs - offset_v, 0, max(n_iterations - 1, 0))
             tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
             w = hoisted_step(
-                jax.tree.unflatten(jax.tree.structure(arrays), leaves),
+                window_decode(jax.tree.unflatten(arrays_treedef, leaves)),
                 tf_v,
                 halo_v,
                 origin_row,
-                oog,
+                oog8.astype(jnp.bool_),
                 jnp.asarray(i_abs, jnp.int32),
                 tdv,
                 consts=consts_v,
             )
-            return jax.tree.leaves(w)
+            return jax.tree.leaves(window_encode(w))
 
-        leaves = lax.fori_loop(0, p, step_body, jax.tree.leaves(window))
-        out = window_encode(
-            jax.tree.unflatten(jax.tree.structure(arrays), leaves)
+        leaves = lax.fori_loop(
+            0, p, step_body, jax.tree.leaves(window_stored)
         )
+        out = jax.tree.unflatten(arrays_treedef, leaves)
 
         # Core extraction. The window-relative core offset is i*T - origin:
         # 0 for a top-clamped window, 2*hpm for a bottom-clamped one, hpm

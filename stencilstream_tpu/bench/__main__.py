@@ -151,7 +151,14 @@ def main(argv=None) -> int:
     honor_jax_platforms_env()
 
     parser = argparse.ArgumentParser(prog="stencilstream-bench")
-    parser.add_argument("mode", choices=["max_perf", "grid_scaling"])
+    parser.add_argument(
+        "mode",
+        choices=["max_perf", "grid_scaling", "strong_scaling"],
+        help="max_perf: one large-grid run; grid_scaling: throughput vs grid "
+        "size (the reference's deep-grid-scaling sweep); strong_scaling: "
+        "fixed problem over growing device meshes (distributed backend — "
+        "the reference's multi-rank sweep, benchmark.jl:22-40)",
+    )
     parser.add_argument("app", choices=sorted(CASES))
     parser.add_argument("--backend", default="tiling")
     parser.add_argument("--variant", default=None, help="jacobi kernel variant")
@@ -178,6 +185,41 @@ def main(argv=None) -> int:
     case_kwargs = {}
     if args.app == "jacobi" and args.variant:
         case_kwargs["variant"] = args.variant
+
+    if args.mode == "strong_scaling":
+        import jax
+
+        from ..parallel import make_mesh
+
+        size = args.size or 2048
+        n_dev = len(jax.devices())
+        runs = []
+        n = 1
+        while n <= n_dev:
+            runs.append(n)
+            n *= 2
+        for n in runs:
+            mesh = make_mesh(n)
+            grid, make, cell_bytes, flops = case(
+                size, "distributed", dict(mesh=mesh, **backend_kwargs), **case_kwargs
+            )
+            update = make(args.n_iterations)
+            result = run_benchmark(
+                lambda: update(grid),
+                variant=f"{args.app}.distributed.{size}.n{n}",
+                grid_shape=grid.shape,
+                n_iterations=args.n_iterations,
+                cell_bytes=cell_bytes,
+                flops_per_cell=flops,
+                n_samples=args.samples,
+            )
+            path = write_metrics(result, args.out_dir)
+            print(
+                f"{result.variant}: {result.cells_per_s / 1e9:.3f} GCell/s "
+                f"on {n} device(s) -> {path}"
+            )
+            print(f"Walltime: {result.walltime_s} s")
+        return 0
 
     sizes = (
         [args.size or 8192]
