@@ -54,16 +54,28 @@ def halo_width(radius: int, iters_per_pass: int, n_subiterations: int) -> int:
     return radius * iters_per_pass * n_subiterations
 
 
-def _pad_axis(window: Any, halo_cell: Any, r: int, axis: int) -> Any:
-    """Concatenate ``r`` halo-valued rows/columns on both ends of ``axis``."""
+def shifted(a, d: int, axis: int, hv):
+    """Shape-preserving shift: ``out[i] = a[i + d]`` along ``axis``, with the
+    halo value where ``i + d`` runs past the array.
 
-    def pad_leaf(a, hv):
-        shape = list(a.shape)
-        shape[axis] = r
-        frame = jnp.full(shape, jnp.asarray(hv, a.dtype))
-        return jnp.concatenate([frame, a, frame], axis=axis)
-
-    return jax.tree.map(pad_leaf, window, halo_cell)
+    This (slice-then-concat) is the one neighbor idiom that composes safely
+    under Mosaic — enlarging pads followed by slices miscompile when chained
+    (see docs/DESIGN.md "Empirically-discovered Mosaic constraints").
+    """
+    if d == 0:
+        return a
+    as_bool = a.dtype == jnp.bool_
+    if as_bool:
+        a = a.astype(jnp.int8)
+    n = a.shape[axis]
+    shape = list(a.shape)
+    shape[axis] = abs(d)
+    frame = jnp.full(shape, jnp.asarray(hv, a.dtype))
+    if d > 0:
+        out = jnp.concatenate([lax.slice_in_dim(a, d, n, axis=axis), frame], axis=axis)
+    else:
+        out = jnp.concatenate([frame, lax.slice_in_dim(a, 0, n + d, axis=axis)], axis=axis)
+    return out.astype(jnp.bool_) if as_bool else out
 
 
 def mask_out_of_grid(
@@ -124,29 +136,28 @@ def fused_substep(
 
     for sub in range(n_subiterations):
         h, w = jax.tree.leaves(window)[0].shape
-        src = window
-        # Along "pad" axes the slice origin shifts by r into the padding;
-        # along "shrink" axes it stays and the output loses 2r cells.
-        if row_mode == "pad":
-            src = _pad_axis(src, halo_cell, r, 0)
-            nh = h
-        else:
-            nh = h - 2 * r
+        # Along "pad" axes neighbors are shape-preserving halo shifts; along
+        # "shrink" axes they are interior slices and the output loses 2r.
+        nh = h if row_mode == "pad" else h - 2 * r
+        nw = w if col_mode == "pad" else w - 2 * r
+        if row_mode != "pad":
             row0 = row0 + r
-        if col_mode == "pad":
-            src = _pad_axis(src, halo_cell, r, 1)
-            nw = w
-        else:
-            nw = w - 2 * r
+        if col_mode != "pad":
             col0 = col0 + r
 
-        def neighbor(dr: int, dc: int, _src=src, _nh=nh, _nw=nw):
-            return jax.tree.map(
-                lambda a: lax.slice(
-                    a, (r + dr, r + dc), (r + dr + _nh, r + dc + _nw)
-                ),
-                _src,
-            )
+        def neighbor(dr: int, dc: int, _window=window, _nh=nh, _nw=nw):
+            def one(a, hv):
+                if row_mode == "pad":
+                    a = shifted(a, dr, 0, hv)
+                else:
+                    a = lax.slice_in_dim(a, r + dr, r + dr + _nh, axis=0)
+                if col_mode == "pad":
+                    a = shifted(a, dc, 1, hv)
+                else:
+                    a = lax.slice_in_dim(a, r + dc, r + dc + _nw, axis=1)
+                return a
+
+            return jax.tree.map(one, _window, halo_cell)
 
         row = lax.broadcasted_iota(jnp.int32, (nh, nw), 0) + row0
         col = lax.broadcasted_iota(jnp.int32, (nh, nw), 1) + col0

@@ -34,14 +34,6 @@ from .base import StencilUpdateBase, resolve_halo
 __all__ = ["StencilUpdate", "apply_iterations"]
 
 
-def _pad_with_halo(arrays: Any, halo_cell: Any, radius: int) -> Any:
-    return jax.tree.map(
-        lambda a, h: jnp.pad(a, radius, constant_values=jnp.asarray(h, a.dtype)),
-        arrays,
-        halo_cell,
-    )
-
-
 def single_subiteration(
     arrays: Any,
     tf: Any,
@@ -60,14 +52,20 @@ def single_subiteration(
     larger logical grid (used by the tiling/distributed backends): ``origin``
     is the global (row, col) of the block's first cell and ``grid_range`` the
     logical grid extent used for ``stencil.id``/``grid_range`` semantics.
+
+    Neighbors are built lazily, one shape-preserving halo shift each (the
+    idiom that chains safely under Mosaic and only materializes the
+    neighbors the transition function touches).
     """
+    from .fused import shifted
+
     H, W = jax.tree.leaves(arrays)[0].shape
-    padded = _pad_with_halo(arrays, halo_cell, radius)
 
     def neighbor(dr: int, dc: int):
         return jax.tree.map(
-            lambda p: lax.slice(p, (radius + dr, radius + dc), (radius + dr + H, radius + dc + W)),
-            padded,
+            lambda a, hv: shifted(shifted(a, dr, 0, hv), dc, 1, hv),
+            arrays,
+            halo_cell,
         )
 
     row = lax.broadcasted_iota(jnp.int32, (H, W), 0) + jnp.asarray(origin[0], jnp.int32)
