@@ -44,9 +44,18 @@ def resolve_halo(halo_value: Any, grid: Grid) -> Any:
 
 
 class StencilUpdateBase:
-    """Base class for all stencil updaters."""
+    """Base class for all stencil updaters.
+
+    ``fallback_to_reference`` (default True for accelerated backends):
+    if the backend's compiled path fails (e.g. a toolchain defect on some
+    kernel shape), the update transparently re-runs through the pure-XLA
+    reference backend and keeps using it, with a one-time warning — every
+    transition function always *runs*, accelerated or not.
+    """
 
     Params = Params
+    #: overridden by accelerated backends
+    _can_fallback = False
 
     def __init__(self, params: Params):
         if isinstance(params, dict):
@@ -55,6 +64,8 @@ class StencilUpdateBase:
         self.params = params
         self._n_processed_cells = 0
         self._walltime = 0.0
+        self.fallback_to_reference = self._can_fallback
+        self._fallback = None
 
     # -- the updater contract ------------------------------------------------
     def get_params(self) -> Params:
@@ -69,7 +80,39 @@ class StencilUpdateBase:
             grid = Grid(grid)
         p = self.params
         start = time.perf_counter()
-        out = self._update(grid)
+        if self._fallback is not None:
+            self._fallback.params = self.params
+            out = self._fallback._update(grid)
+        else:
+            try:
+                out = self._update(grid)
+                if p.blocking:
+                    out.block_until_ready()
+            except Exception as e:  # pragma: no cover - toolchain-dependent
+                # Framework validation errors (capacity checks, bad configs)
+                # are intentional and re-raised; only runtime/compiler
+                # failures fall back.
+                compiler_failure = isinstance(e, RuntimeError) or type(e).__name__ in (
+                    "JaxRuntimeError",
+                    "XlaRuntimeError",
+                    "MosaicError",
+                    "NotImplementedError",
+                    "InternalError",
+                )
+                if not (self.fallback_to_reference and compiler_failure):
+                    raise
+                import warnings
+
+                from . import reference
+
+                warnings.warn(
+                    f"{type(self).__module__.rsplit('.', 1)[-1]} backend failed to "
+                    f"compile/run ({type(e).__name__}); falling back to the "
+                    f"reference backend for this updater. Original error: "
+                    f"{str(e).splitlines()[0][:200]}"
+                )
+                self._fallback = reference.StencilUpdate(self.params)
+                out = self._fallback._update(grid)
         if p.blocking:
             out.block_until_ready()
         self._walltime += time.perf_counter() - start

@@ -141,6 +141,8 @@ class StencilUpdate(StencilUpdateBase):
       (communication/redundant-compute tradeoff, SURVEY.md §2.7.5).
     """
 
+    _can_fallback = True
+
     def __init__(self, params, *, mesh: Mesh | None = None, iters_per_pass: int = 4):
         super().__init__(params)
         self.mesh = mesh if mesh is not None else make_mesh()

@@ -196,6 +196,8 @@ class StencilUpdate(StencilUpdateBase):
       interpreted off-TPU so the backend is testable on the CPU mesh).
     """
 
+    _can_fallback = True
+
     def __init__(self, params, *, unroll: int = 0, interpret: bool | None = None):
         super().__init__(params)
         self.unroll = unroll

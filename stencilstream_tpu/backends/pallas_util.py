@@ -113,6 +113,52 @@ class Operands:
         return jax.tree.unflatten(self.treedef, leaves)
 
 
+def _eval_jaxpr_tpu_safe(jaxpr, consts, *args):
+    """``core.eval_jaxpr`` with Mosaic-crash rewrites applied while
+    re-emitting:
+
+    * ``select_n`` on **bool** operands miscompiles (silent compiler crash);
+      rewrite to mask logic ``(pred & t) | (~pred & f)``.
+    * recurse into ``pjit``-wrapped sub-jaxprs so rewrites reach ops that
+      jnp wraps in inner jits.
+    """
+    from jax.extend.core import Literal
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if (
+            name == "select_n"
+            and len(invals) == 3
+            and eqn.outvars[0].aval.dtype == jnp.bool_
+            and jnp.asarray(invals[0]).dtype == jnp.bool_
+        ):
+            pred, on_false, on_true = invals
+            outs = [(pred & on_true) | (jnp.logical_not(pred) & on_false)]
+        elif name in ("pjit", "jit", "closed_call", "custom_jvp_call", "custom_vjp_call") and hasattr(
+            eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr"), "jaxpr"
+        ):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = _eval_jaxpr_tpu_safe(sub.jaxpr, list(sub.consts), *invals)
+        else:
+            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+            outs = eqn.primitive.bind(*subfuns, *invals, **bind_params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
 class HoistedFn:
     """A function traced to a jaxpr with ALL closure constants hoisted.
 
@@ -121,6 +167,8 @@ class HoistedFn:
     ``jnp`` constants). ``jax.closure_convert`` hoists only *traced* captures;
     this hoists every jaxpr const — concrete or traced — so the function can
     be re-emitted inside a kernel with the consts fed through operands.
+    Re-emission also applies Mosaic-workaround rewrites
+    (:func:`_eval_jaxpr_tpu_safe`).
 
     Usage::
 
@@ -137,9 +185,7 @@ class HoistedFn:
 
     def __call__(self, *args, consts):
         flat, _ = jax.tree.flatten(args)
-        from jax import core
-
-        outs = core.eval_jaxpr(self.jaxpr, list(consts), *flat)
+        outs = _eval_jaxpr_tpu_safe(self.jaxpr, list(consts), *flat)
         return jax.tree.unflatten(self.out_tree, outs)
 
 

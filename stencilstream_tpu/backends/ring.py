@@ -258,6 +258,8 @@ class StencilUpdate(StencilUpdateBase):
       ``r * p * n_subiterations``; default auto).
     """
 
+    _can_fallback = True
+
     def __init__(
         self,
         params,

@@ -367,6 +367,8 @@ class StencilUpdate(StencilUpdateBase):
     * ``interpret`` — force Pallas interpreter mode (auto: off-TPU only).
     """
 
+    _can_fallback = True
+
     def __init__(
         self,
         params,
