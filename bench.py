@@ -133,9 +133,9 @@ def main() -> int:
              dict(size=8192, n_iterations=256, backend="tiling",
                   strip_rows=128, iters_per_pass=16)),
             ("hotspot_monotile", bench_hotspot,
-             dict(size=2048, n_iterations=256, backend="monotile")),
+             dict(size=1024, n_iterations=256, backend="monotile")),
             ("jacobi_monotile", bench_jacobi,
-             dict(size=2048, n_iterations=256, backend="monotile")),
+             dict(size=1024, n_iterations=256, backend="monotile")),
         ]
     else:
         cases = [

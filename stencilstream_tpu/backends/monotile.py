@@ -213,10 +213,12 @@ class StencilUpdate(StencilUpdateBase):
         grid_bytes = sum(
             a.size * a.dtype.itemsize for a in jax.tree.leaves(grid.arrays)
         )
-        # Pad + working copies roughly triple residency; keep the check
-        # conservative so failures are actionable, like the reference's
-        # max-dims validation (monotile/StencilUpdate.hpp:200-209).
-        if grid_bytes * 3 > MONOTILE_VMEM_BUDGET:
+        # The kernel's live set is ~6 grid-sized buffers (in/out plus
+        # Mosaic-materialized sub-step temporaries); beyond that VMEM
+        # pressure makes the kernel catastrophically slow, so reject early —
+        # like the reference's max-dims validation
+        # (monotile/StencilUpdate.hpp:200-209).
+        if grid_bytes * 6 > MONOTILE_VMEM_BUDGET:
             raise ValueError(
                 f"grid needs ~{grid_bytes // (1024 * 1024)} MiB of cell data; "
                 f"the monotile backend requires the whole grid resident in "

@@ -127,6 +127,7 @@ def pick_config(
         "strip_rows",
         "iters_per_pass",
         "interpret",
+        "unroll",
     ),
 )
 def _run_tiling(
@@ -143,6 +144,7 @@ def _run_tiling(
     strip_rows: int,
     iters_per_pass: int,
     interpret: bool,
+    unroll: int = 1,
 ):
     if n_iterations == 0:
         return arrays
@@ -288,7 +290,7 @@ def _run_tiling(
             return jax.tree.leaves(window_encode(w))
 
         leaves = lax.fori_loop(
-            0, p, step_body, jax.tree.leaves(window_stored)
+            0, p, step_body, jax.tree.leaves(window_stored), unroll=unroll
         )
         out = jax.tree.unflatten(arrays_treedef, leaves)
 
@@ -376,11 +378,13 @@ class StencilUpdate(StencilUpdateBase):
         strip_rows: int | None = None,
         iters_per_pass: int | None = None,
         interpret: bool | None = None,
+        unroll: int = 1,
     ):
         super().__init__(params)
         self.strip_rows = strip_rows
         self.iters_per_pass = iters_per_pass
         self.interpret = interpret
+        self.unroll = unroll
 
     def _update(self, grid: Grid) -> Grid:
         p = self.params
@@ -415,5 +419,6 @@ class StencilUpdate(StencilUpdateBase):
             strip_rows=strip_rows,
             iters_per_pass=iters_per_pass,
             interpret=interpret,
+            unroll=self.unroll,
         )
         return Grid(out)
