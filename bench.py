@@ -125,17 +125,20 @@ def main() -> int:
     details = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
 
     if on_tpu:
+        # n_iterations amortizes the per-call dispatch/sync overhead of the
+        # tunneled runtime (~0.15 s); unroll == iters_per_pass is the only
+        # unroll Mosaic supports and buys ~17% (cross-substep CSE).
         cases = [
             ("hotspot", bench_hotspot,
-             dict(size=8192, n_iterations=256, backend="tiling",
-                  strip_rows=64, iters_per_pass=8)),
+             dict(size=8192, n_iterations=1024, backend="tiling",
+                  strip_rows=64, iters_per_pass=8, unroll=8)),
             ("jacobi", bench_jacobi,
-             dict(size=8192, n_iterations=256, backend="tiling",
-                  strip_rows=128, iters_per_pass=16)),
+             dict(size=8192, n_iterations=1024, backend="tiling",
+                  strip_rows=128, iters_per_pass=8, unroll=8)),
             ("hotspot_monotile", bench_hotspot,
-             dict(size=1024, n_iterations=256, backend="monotile")),
+             dict(size=1024, n_iterations=1024, backend="monotile")),
             ("jacobi_monotile", bench_jacobi,
-             dict(size=1024, n_iterations=256, backend="monotile")),
+             dict(size=1024, n_iterations=1024, backend="monotile")),
         ]
     else:
         cases = [
