@@ -54,11 +54,18 @@ def halo_width(radius: int, iters_per_pass: int, n_subiterations: int) -> int:
     return radius * iters_per_pass * n_subiterations
 
 
+#: Neighbor-shift lowering: "concat" (slice-then-concat, works everywhere)
+#: or "roll" (pltpu.roll + edge mask — Pallas kernels only; may schedule
+#: better on the VPU). The Pallas backends trace through whatever this is
+#: set to at HoistedFn construction time.
+SHIFT_IMPL = "concat"
+
+
 def shifted(a, d: int, axis: int, hv):
     """Shape-preserving shift: ``out[i] = a[i + d]`` along ``axis``, with the
     halo value where ``i + d`` runs past the array.
 
-    This (slice-then-concat) is the one neighbor idiom that composes safely
+    The slice-then-concat form is the neighbor idiom that composes safely
     under Mosaic — enlarging pads followed by slices miscompile when chained
     (see docs/DESIGN.md "Empirically-discovered Mosaic constraints").
     """
@@ -68,13 +75,25 @@ def shifted(a, d: int, axis: int, hv):
     if as_bool:
         a = a.astype(jnp.int8)
     n = a.shape[axis]
-    shape = list(a.shape)
-    shape[axis] = abs(d)
-    frame = jnp.full(shape, jnp.asarray(hv, a.dtype))
-    if d > 0:
-        out = jnp.concatenate([lax.slice_in_dim(a, d, n, axis=axis), frame], axis=axis)
+    if SHIFT_IMPL == "roll":
+        from jax.experimental.pallas import tpu as pltpu
+
+        out = pltpu.roll(a, (-d) % n, axis)
+        idx = lax.broadcasted_iota(jnp.int32, a.shape, axis)
+        oob = (idx >= n - d) if d > 0 else (idx < -d)
+        out = jnp.where(oob, jnp.asarray(hv, a.dtype), out)
     else:
-        out = jnp.concatenate([frame, lax.slice_in_dim(a, 0, n + d, axis=axis)], axis=axis)
+        shape = list(a.shape)
+        shape[axis] = abs(d)
+        frame = jnp.full(shape, jnp.asarray(hv, a.dtype))
+        if d > 0:
+            out = jnp.concatenate(
+                [lax.slice_in_dim(a, d, n, axis=axis), frame], axis=axis
+            )
+        else:
+            out = jnp.concatenate(
+                [frame, lax.slice_in_dim(a, 0, n + d, axis=axis)], axis=axis
+            )
     return out.astype(jnp.bool_) if as_bool else out
 
 

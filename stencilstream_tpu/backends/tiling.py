@@ -128,6 +128,7 @@ def pick_config(
         "iters_per_pass",
         "interpret",
         "unroll",
+        "shift_impl",
     ),
 )
 def _run_tiling(
@@ -145,6 +146,7 @@ def _run_tiling(
     iters_per_pass: int,
     interpret: bool,
     unroll: int = 1,
+    shift_impl: str = "concat",
 ):
     if n_iterations == 0:
         return arrays
@@ -234,9 +236,16 @@ def _run_tiling(
     )
     example_mask = jax.ShapeDtypeStruct((win_rows, W), jnp.bool_)
     i0 = jnp.asarray(0, jnp.int32)
-    hoisted_step = HoistedFn(
-        step_fn, example_window, tf, halo_cell, i0, example_mask, i0, ktdv.example
-    )
+    from . import fused as _fused
+
+    _prev_impl = _fused.SHIFT_IMPL
+    _fused.SHIFT_IMPL = shift_impl
+    try:
+        hoisted_step = HoistedFn(
+            step_fn, example_window, tf, halo_cell, i0, example_mask, i0, ktdv.example
+        )
+    finally:
+        _fused.SHIFT_IMPL = _prev_impl
 
     tf_ops = Operands(tf, vectors_as_refs=False)
     halo_ops = Operands(halo_cell)
@@ -379,12 +388,14 @@ class StencilUpdate(StencilUpdateBase):
         iters_per_pass: int | None = None,
         interpret: bool | None = None,
         unroll: int = 1,
+        shift_impl: str = "concat",
     ):
         super().__init__(params)
         self.strip_rows = strip_rows
         self.iters_per_pass = iters_per_pass
         self.interpret = interpret
         self.unroll = unroll
+        self.shift_impl = shift_impl
 
     def _update(self, grid: Grid) -> Grid:
         p = self.params
@@ -420,5 +431,6 @@ class StencilUpdate(StencilUpdateBase):
             iters_per_pass=iters_per_pass,
             interpret=interpret,
             unroll=self.unroll,
+            shift_impl=self.shift_impl,
         )
         return Grid(out)

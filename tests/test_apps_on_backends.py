@@ -15,6 +15,7 @@ BACKENDS = [
     ("monotile", {}),
     ("tiling", dict(strip_rows=8, iters_per_pass=2)),
     ("distributed", dict(iters_per_pass=2)),
+    ("ring", dict(iters_per_pass=1, chunk_rows=8)),
 ]
 
 
