@@ -137,9 +137,10 @@ def _run_monotile(
                 for l, dt in zip(leaves, grid_ops.dtypes)
             ]
 
-        def iter_body(i, leaves):
+        def one_step(i, leaves):
             i_abs = offset_v + i
-            tdv = ktdv.lookup(tdv_decoded, tf_v, i, i_abs)
+            i_rel = jnp.clip(i, 0, max(n_iterations - 1, 0))
+            tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
             cur = hoisted_step(
                 jax.tree.unflatten(grid_treedef, carry_decode(leaves)),
                 tf_v,
@@ -150,14 +151,29 @@ def _run_monotile(
             )
             return carry_encode(jax.tree.leaves(cur))
 
+        # Two-level loop: Mosaic supports only full unrolling of fori_loop,
+        # so the unroll factor is realized as u inline steps per trip
+        # (cross-substep CSE), with pass-through for the overshoot when
+        # n % u != 0.
+        u = max(1, min(unroll or 1, n_iterations))
+        n_outer = -(-n_iterations // u)
+        has_partial = (n_iterations % u) != 0
+
+        def iter_body(o, leaves):
+            for j in range(u):
+                i = o * u + j
+                new = one_step(i, leaves)
+                if has_partial:
+                    active = i < n_iterations
+                    new = [jnp.where(active, nl, ol) for nl, ol in zip(new, leaves)]
+                leaves = new
+            return leaves
+
         leaves = carry_encode(jax.tree.leaves(arrays_v))
-        if unroll and n_iterations <= unroll:
-            for i in range(n_iterations):
-                leaves = iter_body(i, leaves)
+        if n_outer <= 1:
+            leaves = iter_body(0, leaves)
         else:
-            leaves = lax.fori_loop(
-                0, n_iterations, iter_body, leaves, unroll=unroll or 1
-            )
+            leaves = lax.fori_loop(0, n_outer, iter_body, leaves)
 
         for ref, leaf in zip(out_refs, leaves):
             ref[:] = leaf
@@ -190,8 +206,8 @@ class StencilUpdate(StencilUpdateBase):
 
     Extra keyword options:
 
-    * ``unroll`` — unroll factor for the in-kernel iteration loop (0 = let
-      ``fori_loop`` roll; small full-unroll threshold otherwise).
+    * ``unroll`` — inline steps per loop trip of the in-kernel iteration
+      loop (cross-substep CSE; overshoot handled by pass-through).
     * ``interpret`` — force Pallas interpreter mode (defaults to automatic:
       interpreted off-TPU so the backend is testable on the CPU mesh).
     """
