@@ -125,20 +125,22 @@ def main() -> int:
     details = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
 
     if on_tpu:
-        # n_iterations amortizes the per-call dispatch/sync overhead of the
-        # tunneled runtime (~0.15 s); unroll == iters_per_pass is the only
-        # unroll Mosaic supports and buys ~17% (cross-substep CSE).
+        # Protocol notes: large n_iterations amortizes the ~0.1 s per-call
+        # dispatch/sync round-trip of the tunneled runtime; unroll is the
+        # cross-substep CSE knob. Monotile peaks on VMEM-resident grids
+        # (like the reference's monotile peaks, BASELINE.md), tiling covers
+        # the 8192^2 configs.
         cases = [
-            ("hotspot", bench_hotspot,
+            ("hotspot_monotile", bench_hotspot,
+             dict(size=1280, n_iterations=65536, backend="monotile", unroll=4)),
+            ("hotspot_tiling", bench_hotspot,
              dict(size=8192, n_iterations=1024, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),
-            ("jacobi", bench_jacobi,
+            ("jacobi_monotile", bench_jacobi,
+             dict(size=2048, n_iterations=32768, backend="monotile", unroll=4)),
+            ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=1024, backend="tiling",
                   strip_rows=128, iters_per_pass=8, unroll=8)),
-            ("hotspot_monotile", bench_hotspot,
-             dict(size=1024, n_iterations=1024, backend="monotile")),
-            ("jacobi_monotile", bench_jacobi,
-             dict(size=1024, n_iterations=1024, backend="monotile")),
         ]
     else:
         cases = [
@@ -162,11 +164,14 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)
 
-    if not results:
+    hotspot_results = [r for r in results if r["app"] == "hotspot"]
+    if not hotspot_results:
         print(json.dumps({"metric": "hotspot_cell_throughput", "value": 0.0,
                           "unit": "GCell/s", "vs_baseline": 0.0}))
         return 1
-    head = results[0]
+    # Peak across configs — the same convention as the reference's published
+    # per-app peaks (each measured at its own best backend/config).
+    head = max(hotspot_results, key=lambda r: r["gcells_per_s"])
     print(json.dumps({
         "metric": "hotspot_cell_throughput",
         "value": round(head["gcells_per_s"], 3),
