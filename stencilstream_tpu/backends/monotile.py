@@ -62,6 +62,7 @@ MONOTILE_VMEM_BUDGET = 96 * 1024 * 1024
         "strategy",
         "interpret",
         "unroll",
+        "shift_impl",
     ),
 )
 def _run_monotile(
@@ -77,6 +78,7 @@ def _run_monotile(
     strategy,
     interpret: bool,
     unroll: int,
+    shift_impl: str = "concat",
 ):
     if n_iterations == 0:
         return arrays
@@ -101,7 +103,14 @@ def _run_monotile(
     # Transition functions freely capture jnp constants (coefficient tables,
     # LUT arrays, module-level constants...). Pallas kernels may not close
     # over array constants, so hoist them into explicit operands.
-    hoisted_step = HoistedFn(step_fn, arrays, tf, halo_cell, offset, ktdv.example)
+    from . import fused as _fused
+
+    _prev_impl = _fused.SHIFT_IMPL
+    _fused.SHIFT_IMPL = shift_impl
+    try:
+        hoisted_step = HoistedFn(step_fn, arrays, tf, halo_cell, offset, ktdv.example)
+    finally:
+        _fused.SHIFT_IMPL = _prev_impl
 
     grid_ops = Operands(arrays)
     tf_ops = Operands(tf, vectors_as_refs=False)
@@ -214,10 +223,18 @@ class StencilUpdate(StencilUpdateBase):
 
     _can_fallback = True
 
-    def __init__(self, params, *, unroll: int = 0, interpret: bool | None = None):
+    def __init__(
+        self,
+        params,
+        *,
+        unroll: int = 0,
+        interpret: bool | None = None,
+        shift_impl: str = "concat",
+    ):
         super().__init__(params)
         self.unroll = unroll
         self.interpret = interpret
+        self.shift_impl = shift_impl
 
     def _update(self, grid: Grid) -> Grid:
         p = self.params
@@ -259,5 +276,6 @@ class StencilUpdate(StencilUpdateBase):
             strategy=strategy,
             interpret=interpret,
             unroll=self.unroll,
+            shift_impl=self.shift_impl,
         )
         return Grid(out)
