@@ -63,6 +63,7 @@ MONOTILE_VMEM_BUDGET = 96 * 1024 * 1024
         "interpret",
         "unroll",
         "shift_impl",
+        "grid_range",
     ),
 )
 def _run_monotile(
@@ -79,6 +80,7 @@ def _run_monotile(
     interpret: bool,
     unroll: int,
     shift_impl: str = "concat",
+    grid_range: tuple[int, int] | None = None,
 ):
     if n_iterations == 0:
         return arrays
@@ -93,11 +95,28 @@ def _run_monotile(
     # looked up in-kernel through refs / a hoisted inline call.
     ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
 
+    # Storage may be padded up to hardware-tile multiples (Mosaic code for
+    # unaligned lane dims is catastrophically slow); the logical grid extent
+    # drives coordinate semantics and the out-of-grid re-mask.
+    Hs, Ws = jax.tree.leaves(arrays)[0].shape
+    H, W = grid_range if grid_range is not None else (Hs, Ws)
+    aligned = (H, W) == (Hs, Ws)
+
     def step_fn(arrays, tf, halo_cell, i_abs, tdv):
         for sub in range(n_subiterations):
             arrays = single_subiteration(
-                arrays, tf, halo_cell, i_abs, sub, tdv, radius=radius
+                arrays, tf, halo_cell, i_abs, sub, tdv,
+                radius=radius, grid_range=(H, W),
             )
+            if not aligned:
+                row = lax.broadcasted_iota(jnp.int32, (Hs, Ws), 0)
+                col = lax.broadcasted_iota(jnp.int32, (Hs, Ws), 1)
+                oog = (row >= H) | (col >= W)
+                arrays = jax.tree.map(
+                    lambda a, hv: jnp.where(oog, jnp.asarray(hv, a.dtype), a),
+                    arrays,
+                    halo_cell,
+                )
         return arrays
 
     # Transition functions freely capture jnp constants (coefficient tables,
@@ -279,12 +298,32 @@ class StencilUpdate(StencilUpdateBase):
         interpret = (
             self.interpret if self.interpret is not None else should_interpret()
         )
+        # Align storage to hardware tiles (sublane x lane); unaligned lane
+        # dims make Mosaic emit catastrophically slow code. The logical grid
+        # extent still drives coordinate/halo semantics.
+        H, W = grid.shape
+        from .pallas_util import round_up
+
+        Hs, Ws = round_up(H, 8), round_up(W, 128)
+        arrays = grid.arrays
+        if (Hs, Ws) != (H, W):
+            halo_typed = jax.tree.map(
+                lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, arrays
+            )
+            arrays = jax.tree.map(
+                lambda a, hv: jnp.pad(
+                    a, ((0, Hs - H), (0, Ws - W)), constant_values=hv
+                ),
+                arrays,
+                halo_typed,
+            )
         out = _run_monotile(
-            grid.arrays,
+            arrays,
             tf,
             halo_cell,
             offset,
             tdv_aux,
+            grid_range=(H, W),
             radius=tf.stencil_radius,
             n_subiterations=tf.n_subiterations,
             n_iterations=n,
@@ -293,4 +332,6 @@ class StencilUpdate(StencilUpdateBase):
             unroll=self.unroll,
             shift_impl=self.shift_impl,
         )
+        if (Hs, Ws) != (H, W):
+            out = jax.tree.map(lambda a: a[:H, :W], out)
         return Grid(out)

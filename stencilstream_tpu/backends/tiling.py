@@ -129,6 +129,7 @@ def pick_config(
         "interpret",
         "unroll",
         "shift_impl",
+        "logical_w",
     ),
 )
 def _run_tiling(
@@ -147,6 +148,7 @@ def _run_tiling(
     interpret: bool,
     unroll: int = 1,
     shift_impl: str = "concat",
+    logical_w: int | None = None,
 ):
     if n_iterations == 0:
         return arrays
@@ -154,7 +156,8 @@ def _run_tiling(
     if isinstance(strategy, PrecomputeOnDeviceTDV):
         tdv_aux = strategy.precompute_traced(tf, offset, n_iterations)
 
-    H, W = jax.tree.leaves(arrays)[0].shape
+    H, Ws = jax.tree.leaves(arrays)[0].shape
+    W = logical_w if logical_w is not None else Ws
     r, k, p = radius, n_subiterations, iters_per_pass
     m = _cell_sublane_multiple(arrays)
     T = strip_rows
@@ -209,7 +212,7 @@ def _run_tiling(
     # Static specializations: aligned grids (Hs == H) have no out-of-grid
     # rows — the halo re-mask select drops out; when n divides evenly into
     # passes, every pass is full — the pass-through select drops out.
-    aligned = Hs == H
+    aligned = Hs == H and Ws == W
     has_partial = (n_iterations % p) != 0
 
     def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, tdv):
@@ -232,9 +235,9 @@ def _run_tiling(
         return out
 
     example_window = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct((win_rows, W), a.dtype), arrays
+        lambda a: jax.ShapeDtypeStruct((win_rows, Ws), a.dtype), arrays
     )
-    example_mask = jax.ShapeDtypeStruct((win_rows, W), jnp.bool_)
+    example_mask = jax.ShapeDtypeStruct((win_rows, Ws), jnp.bool_)
     i0 = jnp.asarray(0, jnp.int32)
     from . import fused as _fused
 
@@ -277,8 +280,12 @@ def _run_tiling(
         # only the row coordinate matters). int8, not bool: Mosaic
         # miscompiles bool fori carries, so everything crossing the loop
         # boundary rides in integer form.
-        wrow = lax.broadcasted_iota(jnp.int32, (win_rows, W), 0) + origin_row
-        oog8 = (wrow >= H).astype(jnp.int8)
+        wrow = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 0) + origin_row
+        oog = wrow >= H
+        if W != Ws:
+            wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
+            oog = oog | (wcol >= W)
+        oog8 = oog.astype(jnp.int8)
 
         arrays_treedef = jax.tree.structure(arrays)
 
@@ -308,9 +315,9 @@ def _run_tiling(
         # otherwise (hpm <= T guarantees only edge strips clamp). Mosaic has
         # no dynamic value slicing, so select among the three static slices.
         def pick_core(a):
-            s_first = lax.slice(a, (0, 0), (T, W))
-            s_mid = lax.slice(a, (hpm, 0), (hpm + T, W))
-            s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, W))
+            s_first = lax.slice(a, (0, 0), (T, Ws))
+            s_mid = lax.slice(a, (hpm, 0), (hpm + T, Ws))
+            s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, Ws))
             return jnp.where(
                 i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid)
             )
@@ -319,11 +326,11 @@ def _run_tiling(
             ref[:] = pick_core(leaf)
 
     win_spec = pl.BlockSpec(
-        (pl.Element(win_rows), pl.Element(W)),
+        (pl.Element(win_rows), pl.Element(Ws)),
         lambda i: (pl.multiple_of(window_origin(i), m), 0),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     window_bytes = win_rows * _cell_row_bytes(arrays)
 
@@ -341,7 +348,7 @@ def _run_tiling(
             ),
             out_specs=[out_spec] * n_fields,
             out_shape=[
-                jax.ShapeDtypeStruct((Hs, W), a.dtype)
+                jax.ShapeDtypeStruct((Hs, Ws), a.dtype)
                 for a in jax.tree.leaves(padded)
             ],
             compiler_params=pltpu.CompilerParams(
@@ -360,7 +367,7 @@ def _run_tiling(
 
     padded = lax.fori_loop(0, n_passes, pass_body, padded)
     return jax.tree.map(
-        lambda a, like: decode_store(lax.slice(a, (0, 0), (H, W)), like),
+        lambda a, like: decode_store(lax.slice(a, (0, 0), (H, Ws)), like),
         padded,
         arrays,
     )
@@ -432,8 +439,22 @@ class StencilUpdate(StencilUpdateBase):
         interpret = (
             self.interpret if self.interpret is not None else should_interpret()
         )
+        # Align the lane dim to hardware tiles (unaligned widths make Mosaic
+        # emit catastrophically slow code); logical width drives semantics.
+        H, W = grid.shape
+        Ws = round_up(W, 128)
+        arrays = grid.arrays
+        if Ws != W:
+            halo_typed = jax.tree.map(
+                lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, arrays
+            )
+            arrays = jax.tree.map(
+                lambda a, hv: jnp.pad(a, ((0, 0), (0, Ws - W)), constant_values=hv),
+                arrays,
+                halo_typed,
+            )
         out = _run_tiling(
-            grid.arrays,
+            arrays,
             tf,
             halo_cell,
             offset,
@@ -447,5 +468,8 @@ class StencilUpdate(StencilUpdateBase):
             interpret=interpret,
             unroll=self.unroll,
             shift_impl=self.shift_impl,
+            logical_w=W,
         )
+        if Ws != W:
+            out = jax.tree.map(lambda a: a[:, :W], out)
         return Grid(out)

@@ -47,6 +47,14 @@ AMB_TEMP = 80.0
 #: ops/cell used for the GFlops print (hotspot.cpp:311, benchmark.jl:15).
 FLOPS_PER_CELL = 15
 
+#: Measured-peak backend configs on TPU v5e — the analog of the reference's
+#: per-backend tuned tables (hotspot.cpp:99-139). Applied by :func:`run`
+#: when the caller passes no explicit backend kwargs.
+TUNED = {
+    "monotile": dict(unroll=4),
+    "tiling": dict(strip_rows=64, iters_per_pass=8, unroll=8),
+}
+
 
 @cell_type
 class HotspotCell:
@@ -118,9 +126,12 @@ def read_input(temp_file: str, power_file: str, n_rows: int, n_cols: int, binary
     )
 
 
-def run(grid: Grid, n_iterations: int, backend: str = "auto", kernel=None):
+def run(grid: Grid, n_iterations: int, backend: str = "auto", kernel=None,
+        **backend_kwargs):
     if kernel is None:
         kernel = derive_coefficients(grid.height, grid.width)
+    if not backend_kwargs:
+        backend_kwargs = TUNED.get(backend, {})
     update = create_update(
         Params(
             transition_function=kernel,
@@ -129,6 +140,7 @@ def run(grid: Grid, n_iterations: int, backend: str = "auto", kernel=None):
             blocking=True,
         ),
         backend=backend,
+        **backend_kwargs,
     )
     return update(grid), update
 

@@ -215,7 +215,17 @@ def init_grid(height: int, width: int) -> Grid:
     return Grid.from_numpy(block.astype(np.float32))
 
 
-def run(grid: Grid, kernel, n_iterations: int, backend: str = "auto"):
+#: Measured-peak backend configs on TPU v5e (the reference's per-variant
+#: tuned tables, kernels.hpp:236-253).
+TUNED = {
+    "tiling": dict(strip_rows=128, iters_per_pass=8, unroll=8),
+}
+
+
+def run(grid: Grid, kernel, n_iterations: int, backend: str = "auto",
+        **backend_kwargs):
+    if not backend_kwargs:
+        backend_kwargs = TUNED.get(backend, {})
     update = create_update(
         Params(
             transition_function=kernel,
@@ -224,6 +234,7 @@ def run(grid: Grid, kernel, n_iterations: int, backend: str = "auto"):
             blocking=True,
         ),
         backend=backend,
+        **backend_kwargs,
     )
     return update(grid), update
 
