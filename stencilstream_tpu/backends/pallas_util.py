@@ -113,12 +113,32 @@ class Operands:
         return jax.tree.unflatten(self.treedef, leaves)
 
 
-def _eval_jaxpr_tpu_safe(jaxpr, consts, *args):
+def _live_eqns(jaxpr):
+    """Dead-code-eliminated equation list (all jaxpr outputs considered
+    live). ``eval_jaxpr``-style re-emission executes every equation, and
+    Mosaic does not reliably DCE dead vector ops — lazily-built but unused
+    neighbor fields would otherwise be materialized at full cost."""
+    from jax.extend.core import Literal
+
+    needed = {v for v in jaxpr.outvars if not isinstance(v, Literal)}
+    live = []
+    for eqn in reversed(jaxpr.eqns):
+        if eqn.effects or any(v in needed for v in eqn.outvars):
+            live.append(eqn)
+            for v in eqn.invars:
+                if not isinstance(v, Literal):
+                    needed.add(v)
+    live.reverse()
+    return live
+
+
+def _eval_jaxpr_tpu_safe(jaxpr, consts, *args, eqns=None):
     """``core.eval_jaxpr`` with Mosaic-crash rewrites applied while
     re-emitting:
 
+    * dead equations are skipped (:func:`_live_eqns`),
     * ``select_n`` on **bool** operands miscompiles (silent compiler crash);
-      rewrite to mask logic ``(pred & t) | (~pred & f)``.
+      rewrite to mask logic ``(pred & t) | (~pred & f)``,
     * recurse into ``pjit``-wrapped sub-jaxprs so rewrites reach ops that
       jnp wraps in inner jits.
     """
@@ -133,7 +153,7 @@ def _eval_jaxpr_tpu_safe(jaxpr, consts, *args):
         env[v] = c
     for v, a in zip(jaxpr.invars, args):
         env[v] = a
-    for eqn in jaxpr.eqns:
+    for eqn in eqns if eqns is not None else _live_eqns(jaxpr):
         invals = [read(v) for v in eqn.invars]
         name = eqn.primitive.name
         if (
@@ -182,10 +202,11 @@ class HoistedFn:
         self.jaxpr = closed.jaxpr
         self.consts = list(closed.consts)
         self.out_tree = jax.tree.structure(out_shape)
+        self.eqns = _live_eqns(self.jaxpr)
 
     def __call__(self, *args, consts):
         flat, _ = jax.tree.flatten(args)
-        outs = _eval_jaxpr_tpu_safe(self.jaxpr, list(consts), *flat)
+        outs = _eval_jaxpr_tpu_safe(self.jaxpr, list(consts), *flat, eqns=self.eqns)
         return jax.tree.unflatten(self.out_tree, outs)
 
 
