@@ -165,9 +165,19 @@ def _run_monotile(
                 for l, dt in zip(leaves, grid_ops.dtypes)
             ]
 
+        # Two-level-unroll bookkeeping must precede one_step: the overshoot
+        # clamp is emitted only when it can actually trigger (jnp wrappers
+        # nest an inner jit that deoptimizes the SMEM-indexed read).
+        u = max(1, min(unroll or 1, n_iterations))
+        n_outer = -(-n_iterations // u)
+        has_partial = (n_iterations % u) != 0
+
         def one_step(i, leaves):
             i_abs = offset_v + i
-            i_rel = jnp.clip(i, 0, max(n_iterations - 1, 0))
+            if has_partial:
+                i_rel = lax.max(0, lax.min(i, n_iterations - 1))
+            else:
+                i_rel = i
             tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
             cur = hoisted_step(
                 jax.tree.unflatten(grid_treedef, carry_decode(leaves)),
@@ -183,10 +193,6 @@ def _run_monotile(
         # so the unroll factor is realized as u inline steps per trip
         # (cross-substep CSE), with pass-through for the overshoot when
         # n % u != 0.
-        u = max(1, min(unroll or 1, n_iterations))
-        n_outer = -(-n_iterations // u)
-        has_partial = (n_iterations % u) != 0
-
         def iter_body(o, leaves):
             for j in range(u):
                 i = o * u + j

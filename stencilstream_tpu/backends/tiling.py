@@ -291,7 +291,10 @@ def _run_tiling(
 
         def step_body(s, leaves):
             i_abs = i_start_v + s
-            i_rel = jnp.clip(i_abs - offset_v, 0, max(n_iterations - 1, 0))
+            if has_partial:
+                i_rel = lax.max(0, lax.min(i_abs - offset_v, n_iterations - 1))
+            else:
+                i_rel = i_abs - offset_v
             tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
             w = hoisted_step(
                 window_decode(jax.tree.unflatten(arrays_treedef, leaves)),
