@@ -94,10 +94,26 @@ class PrecomputeOnDeviceTDV(TDVStrategy):
 
 
 class PrecomputeOnHostTDV(TDVStrategy):
-    """Host precompute with plain Python — ``get_time_dependent_value`` may use
-    non-traceable host code, mirroring ``SinglePassStrategies.hpp:203-264``."""
+    """Host precompute — ``get_time_dependent_value`` may use non-traceable
+    host code, mirroring ``SinglePassStrategies.hpp:203-264``.
+
+    Traceable TDV functions are batched into one compiled evaluation (a
+    per-iteration eager dispatch would cost one device round trip each —
+    ruinous on remote-attached accelerators); non-traceable ones fall back
+    to the plain Python loop, which is this strategy's defining freedom.
+    """
 
     def prepare(self, tf, offset, n_iterations):
+        if n_iterations == 0:
+            return None
+        try:
+            idx = jnp.arange(n_iterations) + int(offset)
+            out = jax.jit(jax.vmap(tf.get_time_dependent_value))(idx)
+            if out is None or not jax.tree.leaves(out):
+                return None
+            return out
+        except Exception:
+            pass
         values = [tf.get_time_dependent_value(int(offset + i)) for i in range(n_iterations)]
         if not values or values[0] is None:
             return None

@@ -114,8 +114,10 @@ class TestSimulation:
         for strat in ("inline", "precompute_on_device", "precompute_on_host"):
             grid, _ = fdtd.run(tiny_params, tdv_strategy=strat, snapshots=False)
             outs.append(grid.to_numpy().hz)
-        np.testing.assert_allclose(outs[0], outs[1], atol=1e-12)
-        np.testing.assert_allclose(outs[0], outs[2], atol=1e-12)
+        # strategies may differ by float32 ulps (eager vs jit evaluation of
+        # the source wave); equality is to rounding, not bit-identity
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-9)
 
     def test_snapshot_resume_equals_one_shot(self, tmp_path):
         cfg = tiny_config(t_max=0.02, t_snap=0.008)
