@@ -137,7 +137,7 @@ def main() -> int:
              dict(size=8192, n_iterations=1024, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),
             ("jacobi_monotile", bench_jacobi,
-             dict(size=2048, n_iterations=65536, backend="monotile")),
+             dict(size=2048, n_iterations=131072, backend="monotile")),
             ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=1024, backend="tiling",
                   strip_rows=128, iters_per_pass=8, unroll=8)),
