@@ -8,7 +8,12 @@ XLA's host platform to expose 8 devices. Must run before jax is imported.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# STENCILSTREAM_TEST_TPU=1 opts into the real device (for
+# tests/test_tpu_hardware.py); everything else runs on the virtual CPU mesh.
+_USE_TPU = os.environ.get("STENCILSTREAM_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,9 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # The environment's sitecustomize force-registers the TPU platform with
 # priority over the JAX_PLATFORMS env var; override it at config level so
 # tests really run on the 8-device CPU platform (hermetic + multi-chip).
-import jax  # noqa: E402
+if not _USE_TPU:
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: this box has a single CPU core, so every XLA
 # compile costs ~1 s; caching makes repeat test runs cheap. (Subprocesses

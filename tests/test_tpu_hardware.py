@@ -1,0 +1,121 @@
+"""Hardware validation suite — runs only on a real TPU.
+
+The CPU suite exercises everything in interpreter mode; this file re-runs
+the probe contract and app parity through the *compiled* Mosaic kernels on
+the attached chip (skipped elsewhere). Run directly with::
+
+    python -m pytest tests/test_tpu_hardware.py -q --no-header -p no:cacheprovider
+
+outside the CPU-forcing conftest (it honors JAX_PLATFORMS), or via
+``python tests/test_tpu_hardware.py`` which self-executes on TPU.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _on_tpu(), reason="requires a real TPU")
+
+BACKENDS = [
+    ("monotile", {}),
+    ("tiling", dict(strip_rows=64, iters_per_pass=2)),
+    ("distributed", dict(iters_per_pass=2)),
+    ("ring", dict(iters_per_pass=2, chunk_rows=64)),
+]
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS, ids=lambda b: str(b))
+def test_probe_contract_on_hardware(backend, kw):
+    import jax.numpy as jnp  # noqa: F401
+
+    from probe import ProbeTransFunc, check_probe_grid, make_probe_grid, probe_halo_cell
+    from stencilstream_tpu.core import Params
+    from stencilstream_tpu.backends import create_update
+
+    up = create_update(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            iteration_offset=2,
+            n_iterations=3,
+            tdv_strategy="precompute_on_host",
+        ),
+        backend=backend,
+        **kw,
+    )
+    up.fallback_to_reference = False
+    check_probe_grid(up(make_probe_grid(256, 256, iteration_offset=2)), 5)
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS[:2], ids=lambda b: str(b))
+def test_conway_on_hardware(backend, kw):
+    import jax.numpy as jnp
+
+    from stencilstream_tpu.core import Grid, Params
+    from stencilstream_tpu.backends import create_update
+    from stencilstream_tpu.models.conway import ConwayKernel
+
+    rng = np.random.default_rng(0)
+    g = rng.random((512, 512)) < 0.3
+    make = lambda b, k: create_update(
+        Params(
+            transition_function=ConwayKernel(),
+            halo_value=jnp.asarray(False),
+            n_iterations=4,
+        ),
+        backend=b,
+        **k,
+    )
+    up = make(backend, kw)
+    up.fallback_to_reference = False
+    out = up(Grid.from_numpy(g)).to_numpy()
+    ref = make("reference", {})(Grid.from_numpy(g)).to_numpy()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fdtd_lut_on_hardware():
+    from stencilstream_tpu.models import fdtd
+
+    params = fdtd.Parameters.from_json(
+        {
+            "tau": 100e-15,
+            "dx": 10e-9,
+            "time": {"t_cutoff": 7.0, "t_detect": 4.0, "t_max": 0.01},
+            "source": {"frequency": 120e12, "phase": 3.0, "x": 0, "y": 0, "radius": 0.0},
+            "cavity_rings": [
+                {"radius": 86e-9, "mu_r": 11.56, "eps_r": 1.0, "sigma": 0.0}
+            ],
+        }
+    )
+    resolver = fdtd.LUTResolver(params)
+    grid = fdtd.init_grid(params, resolver)
+    outs = {}
+    for b in ("reference", "monotile"):
+        update, _ = fdtd.build_simulation(
+            params, resolver=resolver, backend=b,
+            tdv_strategy="precompute_on_host", n_iterations=4,
+        )
+        if b != "reference":
+            update.fallback_to_reference = False
+        outs[b] = update(grid).to_numpy()
+    np.testing.assert_allclose(
+        outs["monotile"].hz, outs["reference"].hz, rtol=1e-5, atol=1e-7
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-q"]))
