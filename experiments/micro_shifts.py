@@ -1,0 +1,141 @@
+"""Microbenchmark: per-substep op cost of neighbor shifts + halo masking.
+
+Measures the achievable GCell/s of a p-fused jacobi5-style kernel over an
+8192^2 grid in strips, for kernel variants that differ only in how neighbor
+shifts and halo masks are lowered:
+
+* wrap      — pltpu.roll only, no edge masking (WRONG at edges; upper bound)
+* hoisted   — pltpu.roll + edge select against masks computed ONCE before the
+              substep loop (loop-invariant hoisting)
+* inline    — pltpu.roll + mask recomputed (iota+cmp) every substep (what
+              fused.shifted does today)
+* concat    — slice+concat shifts (the current default lowering)
+
+This isolates the shift/mask cost from the full backend machinery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W0, WN, WS, WW, WE = 0.15, 0.2, 0.25, 0.1, 0.3
+
+
+def make_kernel(win_rows, Ws, T, hp, n_strips, p, variant):
+    def shift(a, d, axis, masks):
+        n = a.shape[axis]
+        if variant == "concat":
+            shape = list(a.shape)
+            shape[axis] = abs(d)
+            frame = jnp.zeros(shape, a.dtype)
+            if d > 0:
+                return jnp.concatenate([lax.slice_in_dim(a, d, n, axis=axis), frame], axis=axis)
+            return jnp.concatenate([frame, lax.slice_in_dim(a, 0, n + d, axis=axis)], axis=axis)
+        out = pltpu.roll(a, (-d) % n, axis)
+        if variant == "wrap":
+            return out
+        if variant == "hoisted":
+            return jnp.where(masks[(d, axis)], jnp.float32(0.0), out)
+        idx = lax.broadcasted_iota(jnp.int32, a.shape, axis)
+        oob = (idx >= n - d) if d > 0 else (idx < -d)
+        return jnp.where(oob, jnp.float32(0.0), out)
+
+    def kernel(x_ref, o_ref):
+        masks = {}
+        if variant == "hoisted":
+            for d, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+                n = x_ref.shape[axis]
+                idx = lax.broadcasted_iota(jnp.int32, x_ref.shape, axis)
+                masks[(d, axis)] = (idx >= n - d) if d > 0 else (idx < -d)
+
+        def substep(_, x):
+            north = shift(x, -1, 0, masks)
+            south = shift(x, 1, 0, masks)
+            west = shift(x, -1, 1, masks)
+            east = shift(x, 1, 1, masks)
+            return (W0 * x + WN * north + WS * south + WW * west + WE * east)
+
+        x = lax.fori_loop(0, p, substep, x_ref[:], unroll=True)
+        i = pl.program_id(0)
+        s_first = lax.slice(x, (0, 0), (T, Ws))
+        s_mid = lax.slice(x, (hp, 0), (hp + T, Ws))
+        s_last = lax.slice(x, (2 * hp, 0), (2 * hp + T, Ws))
+        o_ref[:] = jnp.where(i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("T", "hp", "p", "variant", "n_passes"))
+def run(x, *, T, hp, p, variant, n_passes):
+    H, Ws = x.shape
+    win_rows = T + 2 * hp
+    n_strips = H // T
+    kernel = make_kernel(win_rows, Ws, T, hp, n_strips, p, variant)
+
+    def origin(i):
+        return jnp.clip(i * T - hp, 0, H - win_rows)
+
+    def one_pass(_, x):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_strips,),
+            in_specs=[pl.BlockSpec((pl.Element(win_rows), pl.Element(Ws)),
+                                   lambda i: (pl.multiple_of(origin(i), 8), 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, Ws), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x)
+
+    return lax.fori_loop(0, n_passes, one_pass, x)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=1024)
+    ap.add_argument("--strips", type=str, default="128,256")
+    ap.add_argument("--ps", type=str, default="8,16")
+    ap.add_argument("--variants", type=str, default="wrap,hoisted,inline,concat")
+    args = ap.parse_args()
+
+    size = args.size
+    x = jnp.asarray(np.random.default_rng(0).random((size, size), np.float32))
+
+    for T in [int(s) for s in args.strips.split(",")]:
+        for p in [int(s) for s in args.ps.split(",")]:
+            hp = ((p + 7) // 8) * 8  # halo aligned to sublanes (r=1, k=1)
+            n_passes = args.iters // p
+            for variant in args.variants.split(","):
+                try:
+                    t0 = time.perf_counter()
+                    run(x, T=T, hp=hp, p=p, variant=variant,
+                        n_passes=n_passes).block_until_ready()
+                    compile_s = time.perf_counter() - t0
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        run(x, T=T, hp=hp, p=p, variant=variant,
+                            n_passes=n_passes).block_until_ready()
+                        best = min(best, time.perf_counter() - t0)
+                    gc = size * size * (n_passes * p) / best / 1e9
+                    print(f"T={T:4d} p={p:3d} {variant:8s}: {gc:7.2f} GCell/s "
+                          f"(wall {best:.3f}s, compile {compile_s:.0f}s)", flush=True)
+                except Exception as e:
+                    print(f"T={T:4d} p={p:3d} {variant:8s}: FAILED "
+                          f"{type(e).__name__}: {str(e).splitlines()[0][:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,13 +31,13 @@ def available_backends():
 def create_update(params, backend: str = "auto", **backend_kwargs):
     """Construct a StencilUpdate for the named backend.
 
-    ``"auto"`` currently resolves to the pure-XLA reference backend; apps pass
-    ``--backend`` through here so they pick up faster backends as they land
-    (the analog of the reference's CMake backend macro selection,
-    ``examples/conway/conway.cpp:24-33``).
+    ``"auto"`` dispatches per grid: ``distributed`` when more than one device
+    is visible, ``monotile`` when the grid fits the VMEM residency budget,
+    ``tiling`` otherwise — the analog of the reference's CMake backend macro
+    selection plus its monotile capacity validation
+    (``examples/conway/conway.cpp:24-33``,
+    ``monotile/StencilUpdate.hpp:200-209``).
     """
-    if backend == "auto":
-        backend = "reference"
     try:
         factory = _REGISTRY[backend]
     except KeyError:
@@ -71,6 +71,13 @@ def _make_ring(params, **kw):
     return ring.StencilUpdate(params, **kw)
 
 
+def _make_auto(params, **kw):
+    from . import auto
+
+    return auto.StencilUpdate(params, **kw)
+
+
+register_backend("auto", _make_auto)
 register_backend("reference", lambda params, **kw: reference.StencilUpdate(params))
 register_backend("monotile", _make_monotile)
 register_backend("tiling", _make_tiling)

@@ -43,6 +43,34 @@ def resolve_halo(halo_value: Any, grid: Grid) -> Any:
     )
 
 
+def _is_toolchain_failure(e: Exception) -> bool:
+    """True if ``e`` came out of the JAX/XLA/Mosaic toolchain rather than
+    framework validation or user transition-function code.
+
+    Classified by (a) the exception type living in a jax/jaxlib module
+    (``XlaRuntimeError``, Mosaic lowering errors, ...), or (b) a bare
+    ``RuntimeError``/``NotImplementedError`` whose raising frame is inside
+    jax — Mosaic lowering raises builtins for unsupported ops. A
+    ``RuntimeError`` raised from user code is NOT a toolchain failure and
+    propagates (ADVICE.md round 1: the broad match masked user bugs).
+    """
+    mod = type(e).__module__ or ""
+    if mod.startswith(("jax", "jaxlib")):
+        return True
+    if type(e).__name__ in ("XlaRuntimeError", "JaxRuntimeError", "MosaicError"):
+        return True
+    if isinstance(e, (RuntimeError, NotImplementedError)):
+        tb = e.__traceback__
+        frames = []
+        while tb is not None:
+            frames.append(tb.tb_frame.f_globals.get("__name__", ""))
+            tb = tb.tb_next
+        # The *raising* (innermost) frame decides: toolchain errors originate
+        # inside jax/jaxlib even when user code sits above them on the stack.
+        return bool(frames) and frames[-1].startswith(("jax", "jaxlib"))
+    return False
+
+
 class StencilUpdateBase:
     """Base class for all stencil updaters.
 
@@ -90,16 +118,10 @@ class StencilUpdateBase:
                     out.block_until_ready()
             except Exception as e:  # pragma: no cover - toolchain-dependent
                 # Framework validation errors (capacity checks, bad configs)
-                # are intentional and re-raised; only runtime/compiler
-                # failures fall back.
-                compiler_failure = isinstance(e, RuntimeError) or type(e).__name__ in (
-                    "JaxRuntimeError",
-                    "XlaRuntimeError",
-                    "MosaicError",
-                    "NotImplementedError",
-                    "InternalError",
-                )
-                if not (self.fallback_to_reference and compiler_failure):
+                # and errors raised from *user* transition-function code are
+                # intentional and re-raised; only toolchain (JAX/XLA/Mosaic)
+                # failures fall back (advisor finding, ADVICE.md round 1).
+                if not (self.fallback_to_reference and _is_toolchain_failure(e)):
                     raise
                 import warnings
 

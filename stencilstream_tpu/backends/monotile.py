@@ -45,12 +45,20 @@ from .base import StencilUpdateBase, resolve_halo
 from .pallas_util import HoistedFn, KernelTDV, Operands, should_interpret
 from .reference import single_subiteration
 
-__all__ = ["StencilUpdate", "MONOTILE_VMEM_BUDGET"]
+__all__ = ["StencilUpdate", "MONOTILE_VMEM_BUDGET", "monotile_live_bytes"]
 
 #: VMEM budget (bytes) for grid residency; grids needing more must use the
 #: tiling backend (the analog of exceeding ``max_grid_height x max_grid_width``,
 #: ``monotile/StencilUpdate.hpp:200-209``).
 MONOTILE_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def monotile_live_bytes(arrays) -> int:
+    """Estimated VMEM live set for a resident grid: ~6 grid-sized buffers
+    (in/out plus Mosaic-materialized sub-step temporaries, observed
+    empirically). The capacity check and ``backend="auto"`` both use this."""
+    grid_bytes = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(arrays))
+    return grid_bytes * 6
 
 
 @functools.partial(
@@ -283,15 +291,13 @@ class StencilUpdate(StencilUpdateBase):
         halo_cell = resolve_halo(p.halo_value, grid)
         n = int(p.n_iterations)
 
-        grid_bytes = sum(
-            a.size * a.dtype.itemsize for a in jax.tree.leaves(grid.arrays)
-        )
         # The kernel's live set is ~6 grid-sized buffers (in/out plus
         # Mosaic-materialized sub-step temporaries); beyond that VMEM
         # pressure makes the kernel catastrophically slow, so reject early —
         # like the reference's max-dims validation
         # (monotile/StencilUpdate.hpp:200-209).
-        if grid_bytes * 6 > MONOTILE_VMEM_BUDGET:
+        if monotile_live_bytes(grid.arrays) > MONOTILE_VMEM_BUDGET:
+            grid_bytes = monotile_live_bytes(grid.arrays) // 6
             raise ValueError(
                 f"grid needs ~{grid_bytes // (1024 * 1024)} MiB of cell data; "
                 f"the monotile backend requires the whole grid resident in "

@@ -22,6 +22,10 @@ __all__ = ["FDTDKernel", "make_kernel"]
 class FDTDKernel:
     stencil_radius = 1
     n_subiterations = 2
+    # The source-wave TDV below is pure jnp math: opt into the batched host
+    # precompute (one compiled evaluation instead of one device round trip
+    # per iteration — ~230x on the tunneled runtime).
+    tdv_host_batchable = True
 
     # Traced runtime parameters (Kernel.hpp:60-78).
     dt: float = 0.0

@@ -59,8 +59,10 @@ def make_mesh(
 
 
 def shift_from(x: Any, axis_name: str, direction: int, axis_size: int) -> Any:
-    """Receive ``x`` from the neighbor at ``direction`` (-1: previous rank,
-    +1: next rank) along ``axis_name``; mesh-edge devices receive zeros.
+    """Shift ``x`` one rank along ``axis_name`` in ``direction``: with
+    ``+1`` data flows toward higher ranks (each rank *receives the previous
+    rank's* value), with ``-1`` toward lower ranks (each rank receives the
+    next rank's value). Mesh-edge devices receive zeros.
 
     The TPU-native analog of the reference's inter-FPGA send/recv kernels
     (``internal/DualIOPipeKernels.hpp:28,97``): one ``ppermute`` hop over ICI.

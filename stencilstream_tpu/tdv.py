@@ -94,26 +94,29 @@ class PrecomputeOnDeviceTDV(TDVStrategy):
 
 
 class PrecomputeOnHostTDV(TDVStrategy):
-    """Host precompute — ``get_time_dependent_value`` may use non-traceable
-    host code, mirroring ``SinglePassStrategies.hpp:203-264``.
+    """Host precompute — ``get_time_dependent_value`` may use arbitrary,
+    non-traceable host code, mirroring ``SinglePassStrategies.hpp:203-264``.
 
-    Traceable TDV functions are batched into one compiled evaluation (a
-    per-iteration eager dispatch would cost one device round trip each —
-    ruinous on remote-attached accelerators); non-traceable ones fall back
-    to the plain Python loop, which is this strategy's defining freedom.
+    The contract is an eager host loop: one plain Python call per iteration,
+    so impure functions (counters, host-state mutation) behave exactly as
+    written. A transition function whose TDV is *pure and traceable* may set
+    ``tdv_host_batchable = True`` to opt into a single batched
+    ``jit(vmap(...))`` evaluation instead — a per-iteration eager dispatch of
+    a jnp-based TDV costs one device round trip each, ruinous on
+    remote-attached accelerators. The opt-in is explicit because batching an
+    impure-but-traceable function would silently broadcast one traced value
+    (advisor finding, ADVICE.md round 1).
     """
 
     def prepare(self, tf, offset, n_iterations):
         if n_iterations == 0:
             return None
-        try:
+        if getattr(tf, "tdv_host_batchable", False):
             idx = jnp.arange(n_iterations) + int(offset)
             out = jax.jit(jax.vmap(tf.get_time_dependent_value))(idx)
             if out is None or not jax.tree.leaves(out):
                 return None
             return out
-        except Exception:
-            pass
         values = [tf.get_time_dependent_value(int(offset + i)) for i in range(n_iterations)]
         if not values or values[0] is None:
             return None

@@ -46,8 +46,22 @@ def read_char_grid(stream: IO[str], height: int, width: int) -> np.ndarray:
     skipping whitespace like ``std::cin >> char``. Dispatches to the native
     parser (:mod:`stencilstream_tpu.native`) when built."""
     if _use_native():
-        text = stream.read()
-        return _native.parse_char_grid(text.encode(), height, width)
+        # Read incrementally — exactly enough characters to cover
+        # height*width non-whitespace cells — so the stream is left where the
+        # Python fallback (and the reference's ``std::cin >> char``) leaves
+        # it: just past the last cell (ADVICE.md round 1). Each request asks
+        # for at most the number of still-missing cells, so the loop can
+        # overshoot only on whitespace *between* cells, never past the grid.
+        total = height * width
+        parts: list[str] = []
+        count = 0
+        while count < total:
+            chunk = stream.read(total - count)
+            if not chunk:
+                break  # truncated; the native parser raises with coordinates
+            parts.append(chunk)
+            count += len("".join(chunk.split()))
+        return _native.parse_char_grid("".join(parts).encode(), height, width)
     out = np.empty((height, width), dtype=bool)
     chars = (ch for line in stream for ch in line if not ch.isspace())
     for r in range(height):
