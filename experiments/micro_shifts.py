@@ -113,25 +113,38 @@ def main():
     size = args.size
     x = jnp.asarray(np.random.default_rng(0).random((size, size), np.float32))
 
+    def sync(out):
+        # block_until_ready is a no-op on tunneled PJRT platforms; a
+        # one-element fetch cannot return early (see core.Grid).
+        np.asarray(out[0, 0])
+
+    def timed(T, hp, p, variant, n_passes):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n_passes))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for T in [int(s) for s in args.strips.split(",")]:
         for p in [int(s) for s in args.ps.split(",")]:
             hp = ((p + 7) // 8) * 8  # halo aligned to sublanes (r=1, k=1)
-            n_passes = args.iters // p
+            n1 = max(args.iters // p // 4, 1)
+            n2 = max(args.iters // p, 2)
             for variant in args.variants.split(","):
                 try:
                     t0 = time.perf_counter()
-                    run(x, T=T, hp=hp, p=p, variant=variant,
-                        n_passes=n_passes).block_until_ready()
+                    sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n1))
                     compile_s = time.perf_counter() - t0
-                    best = float("inf")
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        run(x, T=T, hp=hp, p=p, variant=variant,
-                            n_passes=n_passes).block_until_ready()
-                        best = min(best, time.perf_counter() - t0)
-                    gc = size * size * (n_passes * p) / best / 1e9
-                    print(f"T={T:4d} p={p:3d} {variant:8s}: {gc:7.2f} GCell/s "
-                          f"(wall {best:.3f}s, compile {compile_s:.0f}s)", flush=True)
+                    w1 = timed(T, hp, p, variant, n1)
+                    sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n2))
+                    w2 = timed(T, hp, p, variant, n2)
+                    # Marginal rate: extra passes / extra time — cancels the
+                    # fixed per-call dispatch overhead of the tunneled runtime.
+                    gc = size * size * (n2 - n1) * p / (w2 - w1) / 1e9
+                    print(f"T={T:4d} p={p:3d} {variant:8s}: {gc:7.2f} GCell/s marginal "
+                          f"(w1 {w1:.3f}s/{n1}, w2 {w2:.3f}s/{n2}, compile {compile_s:.0f}s)",
+                          flush=True)
                 except Exception as e:
                     print(f"T={T:4d} p={p:3d} {variant:8s}: FAILED "
                           f"{type(e).__name__}: {str(e).splitlines()[0][:120]}", flush=True)

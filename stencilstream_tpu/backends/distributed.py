@@ -5,19 +5,26 @@ The TPU-native replacement for the reference's multi-FPGA scale-out
 the reference circulates the *whole grid* around a ring of FPGAs — each lap
 advancing ``n_ranks * p`` iterations, data moving over two 32-byte serial
 channels per hop — the TPU-native design shards the grid *spatially* over a
-2D device mesh and exchanges only ``halo``-wide boundary strips per pass over
+device mesh and exchanges only ``halo``-wide boundary strips per pass over
 ICI (``lax.ppermute``). This is the scheme the reference itself identifies as
 the scalable one (overlapped tiling with compound halo,
 ``tiling/internal/StencilUpdateKernel.hpp:79-91``) but could not build for
-lack of an all-to-all fabric; on TPU it is the idiomatic one:
+lack of an all-to-all fabric; on TPU it is the idiomatic one.
 
-* per pass, each device extends its local block with
-  ``r * p * n_subiterations`` rows/columns from its four mesh neighbors
-  (corners ride the two-phase exchange, :func:`..parallel.exchange_halo`),
-* then applies ``p`` fused iterations locally with the shrinking-window
-  discipline (:mod:`.fused`) — no communication inside a pass,
-* mesh-edge devices mask out-of-grid positions to the halo value, exactly
-  the reference's coordinate-based halo substitution.
+Two local-compute paths, same collective structure:
+
+* ``local_compute="pallas"`` (default, row-sharded 1D mesh): per pass each
+  device extends its full-width local strip block with ``hpm`` rows from its
+  mesh neighbors (:func:`..parallel.exchange_halo_rows`), then runs the SAME
+  optimized Pallas strip kernel the single-chip tiling backend uses
+  (:class:`.strip_pass.StripPass`, ``mode="extended"``) — the analog of the
+  reference's distributed design reusing the single-device work kernel
+  (``monotile/internal/StencilUpdateDesign.hpp:221-348``). Per-chip
+  throughput therefore matches the tiling backend.
+* ``local_compute="xla"`` (2D meshes): two-phase row+column halo exchange,
+  then ``p`` fused iterations with the shrinking-window discipline in plain
+  XLA (:mod:`.fused`). Keeps arbitrary ``(ny, nx)`` meshes available when a
+  2D decomposition is preferred over strip sharding.
 
 Everything (pass loop included) runs inside one ``jit`` + ``shard_map``, so
 XLA overlaps the ppermute collectives with local compute where profitable.
@@ -36,11 +43,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.grid import Grid
-from ..parallel import exchange_halo, make_mesh
+from ..parallel import exchange_halo, exchange_halo_rows, make_mesh
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
 from .fused import fused_window_pass, halo_width
-from .pallas_util import round_up
+from .pallas_util import round_up, should_interpret
+from .strip_pass import StripPass, cell_sublane_multiple
 
 __all__ = ["StencilUpdate"]
 
@@ -55,6 +63,11 @@ __all__ = ["StencilUpdate"]
         "iters_per_pass",
         "mesh",
         "grid_range",
+        "local_compute",
+        "strip_rows",
+        "unroll",
+        "shift_impl",
+        "interpret",
     ),
 )
 def _run_distributed(
@@ -71,6 +84,11 @@ def _run_distributed(
     iters_per_pass: int,
     mesh: Mesh,
     grid_range: tuple[int, int],
+    local_compute: str = "pallas",
+    strip_rows: int | None = None,
+    unroll: int = 1,
+    shift_impl: str = "concat",
+    interpret: bool = False,
 ):
     if n_iterations == 0:
         return padded
@@ -91,7 +109,45 @@ def _run_distributed(
     grid_spec = jax.tree.map(lambda _: P("y", "x"), padded)
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
 
-    def spmd(local, tf, halo_cell, offset, tdv_aux):
+    m = cell_sublane_multiple(padded)
+    hpm = round_up(hp, m)
+
+    def spmd_pallas(local, tf, halo_cell, offset, tdv_aux):
+        """Row-sharded fast path: exchange_halo_rows + the tiling strip
+        kernel over the extended local block."""
+        iy = lax.axis_index("y")
+        base_origin = iy * h - hpm
+        ext_example = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((h + 2 * hpm, w), a.dtype), local
+        )
+        sp = StripPass(
+            ext_example,
+            tf,
+            halo_cell,
+            strategy,
+            tdv_aux,
+            radius=r,
+            n_subiterations=k,
+            n_iterations=n_iterations,
+            iters_per_pass=p,
+            strip_rows=strip_rows if strip_rows is not None else h,
+            grid_range=(H, W),
+            mode="extended",
+            base_origin=base_origin,
+            unroll=unroll,
+            shift_impl=shift_impl,
+            interpret=interpret,
+        )
+
+        def pass_body(i_pass, local):
+            ext = exchange_halo_rows(local, hpm, "y", ny)
+            return sp.run(ext, offset + i_pass * p, offset, base_origin)
+
+        return lax.fori_loop(0, n_passes, pass_body, local)
+
+    def spmd_xla(local, tf, halo_cell, offset, tdv_aux):
+        """2D-mesh path: two-phase halo exchange + shrinking fused window in
+        plain XLA."""
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         origin = (iy * h - hp, ix * w - hp)
@@ -121,11 +177,15 @@ def _run_distributed(
 
         return lax.fori_loop(0, n_passes, pass_body, local)
 
+    spmd = spmd_pallas if local_compute == "pallas" else spmd_xla
     return jax.shard_map(
         spmd,
         mesh=mesh,
         in_specs=(grid_spec, rep(tf), rep(halo_cell), P(), rep(tdv_aux)),
         out_specs=grid_spec,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # the sharding here is by construction (per-device strip blocks).
+        check_vma=False,
     )(padded, tf, halo_cell, offset, tdv_aux)
 
 
@@ -134,19 +194,53 @@ class StencilUpdate(StencilUpdateBase):
 
     Extra keyword options:
 
-    * ``mesh`` — a :class:`jax.sharding.Mesh` with axes ``("y", "x")``
-      (default: all visible devices, near-square factorization).
+    * ``mesh`` — a :class:`jax.sharding.Mesh` with axes ``("y", "x")``.
+      Default: all visible devices as a 1D row mesh ``(n, 1)`` so the local
+      compute runs the optimized Pallas strip kernel. 2D meshes are
+      supported and select the XLA local path.
     * ``iters_per_pass`` — temporal parallelism p: iterations fused between
       halo exchanges; the halo width is ``r * p * n_subiterations`` per side
       (communication/redundant-compute tradeoff, SURVEY.md §2.7.5).
+    * ``local_compute`` — ``"pallas"`` (1D mesh only) or ``"xla"``; default
+      auto: pallas when ``nx == 1``, else xla.
+    * ``strip_rows`` / ``unroll`` / ``shift_impl`` / ``interpret`` — Pallas
+      strip-kernel knobs, as in the tiling backend.
     """
 
     _can_fallback = True
 
-    def __init__(self, params, *, mesh: Mesh | None = None, iters_per_pass: int = 4):
+    def __init__(
+        self,
+        params,
+        *,
+        mesh: Mesh | None = None,
+        iters_per_pass: int = 4,
+        local_compute: str | None = None,
+        strip_rows: int | None = None,
+        unroll: int = 1,
+        shift_impl: str = "concat",
+        interpret: bool | None = None,
+    ):
         super().__init__(params)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            n = len(jax.devices())
+            mesh = make_mesh(shape=(n, 1))
+        self.mesh = mesh
+        ny, nx = mesh.devices.shape
+        if local_compute is None:
+            local_compute = "pallas" if nx == 1 else "xla"
+        if local_compute == "pallas" and nx != 1:
+            raise ValueError(
+                "local_compute='pallas' requires a row-sharded (n, 1) mesh; "
+                f"got mesh shape {(ny, nx)}. Use local_compute='xla' for 2D "
+                "meshes."
+            )
+        self.local_compute = local_compute
         self.iters_per_pass = iters_per_pass
+        self.strip_rows = strip_rows
+        self.unroll = unroll
+        self.shift_impl = shift_impl
+        self.interpret = interpret
 
     def _update(self, grid: Grid) -> Grid:
         prm = self.params
@@ -160,12 +254,20 @@ class StencilUpdate(StencilUpdateBase):
 
         p = max(1, min(self.iters_per_pass, n or 1))
         hp = halo_width(r, p, k)
+        m = cell_sublane_multiple(grid.arrays)
+        hpm = round_up(hp, m)
 
         # Pad the grid so every device gets an equal local block of at least
-        # halo size (single-hop neighbor exchange).
-        min_local = max(hp, 8)
-        Hp = round_up(max(H, ny * min_local), ny)
-        Wp = round_up(max(W, nx * min_local), nx)
+        # halo size (single-hop neighbor exchange). The pallas path also
+        # needs sublane-aligned local rows and lane-aligned width.
+        if self.local_compute == "pallas":
+            min_local = max(hpm, m)
+            Hp = round_up(max(H, ny * min_local), ny * m)
+            Wp = round_up(W, 128)
+        else:
+            min_local = max(hp, 8)
+            Hp = round_up(max(H, ny * min_local), ny)
+            Wp = round_up(max(W, nx * min_local), nx)
 
         halo_typed = jax.tree.map(
             lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, grid.arrays
@@ -180,6 +282,15 @@ class StencilUpdate(StencilUpdateBase):
 
         offset = jnp.asarray(prm.iteration_offset, jnp.int32)
         tdv_aux = strategy.prepare(tf, int(prm.iteration_offset), n)
+        interpret = (
+            self.interpret if self.interpret is not None else should_interpret()
+        )
+        strip_rows = self.strip_rows
+        if self.local_compute == "pallas" and strip_rows is None:
+            from .tiling import pick_config
+
+            local_example = jax.tree.map(lambda a: a[: Hp // ny], padded)
+            strip_rows, _ = pick_config(local_example, r, k, n, None, p)
         out = _run_distributed(
             padded,
             tf,
@@ -193,6 +304,11 @@ class StencilUpdate(StencilUpdateBase):
             iters_per_pass=p,
             mesh=self.mesh,
             grid_range=(H, W),
+            local_compute=self.local_compute,
+            strip_rows=strip_rows,
+            unroll=self.unroll,
+            shift_impl=self.shift_impl,
+            interpret=interpret,
         )
         out = jax.tree.map(lambda a: a[:H, :W], out)
         return Grid(out)

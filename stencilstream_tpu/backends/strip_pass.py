@@ -1,0 +1,373 @@
+"""Reusable Pallas strip-pass kernel: p fused iterations over full-width
+row strips.
+
+This is the shared compute core of the two HBM-regime backends — the analog
+of the reference sharing ONE StencilUpdateKernel between its single-FPGA and
+multi-FPGA designs (``monotile/internal/StencilUpdateDesign.hpp:221-348``):
+
+* the **tiling** backend runs it over the whole (row-padded) grid with
+  *clamped* overlapping windows (edge strips reuse the interior window shape,
+  ``mode="clamped"``);
+* the **distributed** backend runs it inside ``shard_map`` over each device's
+  halo-extended local block (``mode="extended"``), after a collective
+  ``exchange_halo``; the per-device global row origin rides in as a scalar
+  operand.
+
+Both modes share the same per-strip kernel: an element-indexed overlapping
+input window (``strip_rows + 2*halo`` rows, double-buffered by the Pallas
+pipeline), ``p * n_subiterations`` fused sub-steps at fixed window size with
+out-of-grid re-masking and partial-pass pass-through (:mod:`.fused`), and a
+core-rows-only blocked output — the TPU-native restatement of
+``tiling/internal/{HaloTiledInputKernel,StencilUpdateKernel}.hpp``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused import fused_substep, halo_width
+from .pallas_util import (
+    HoistedFn,
+    KernelTDV,
+    Operands,
+    round_up,
+    sublane_multiple,
+)
+
+__all__ = ["StripPass", "cell_sublane_multiple", "cell_row_bytes"]
+
+
+def cell_sublane_multiple(arrays) -> int:
+    m = 8
+    for a in jax.tree.leaves(arrays):
+        dt = jnp.int8 if a.dtype == jnp.bool_ else a.dtype
+        m = max(m, sublane_multiple(dt))
+    return m
+
+
+def cell_row_bytes(arrays) -> int:
+    leaves = jax.tree.leaves(arrays)
+    width = leaves[0].shape[1]
+    return sum(
+        width
+        * max(jnp.dtype(jnp.int8 if a.dtype == jnp.bool_ else a.dtype).itemsize, 1)
+        for a in leaves
+    )
+
+
+class StripPass:
+    """Builds (once per trace) the Pallas strip kernel and runs one pass.
+
+    Constructed *inside* a jit/shard_map trace: operand groups may carry
+    traced values. Call :meth:`run` once per pass.
+
+    Args:
+      arrays: example cell pytree of the pass INPUT block —
+        ``(Hs, Ws)`` leaves (clamped mode: the row-padded carry;
+        extended mode: the halo-extended local block, ``Hs = h + 2*hpm``).
+      grid_range: logical grid extent ``(H, W)`` for coordinate semantics.
+      mode: ``"clamped"`` (windows clip at the carry edges, output is
+        carry-shaped) or ``"extended"`` (the input carries ``hpm`` stored
+        halo rows top+bottom, windows never clip, output is core-only,
+        ``Hs - 2*hpm`` rows).
+      base_origin: global row of input row 0 (traced scalar ok; clamped
+        mode passes 0). Column origin is always 0 (full-width strips).
+      always_mask_rows: extended mode masks out-of-grid *rows* per sub-step
+        even when the storage is row-aligned (mesh-edge zeros arrive from
+        ``exchange_halo``).
+    """
+
+    def __init__(
+        self,
+        arrays,
+        tf,
+        halo_cell,
+        strategy,
+        tdv_aux,
+        *,
+        radius: int,
+        n_subiterations: int,
+        n_iterations: int,
+        iters_per_pass: int,
+        strip_rows: int,
+        grid_range: tuple[int, int],
+        mode: str = "clamped",
+        base_origin=0,
+        unroll: int = 1,
+        shift_impl: str = "concat",
+        interpret: bool = False,
+    ):
+        H, W = grid_range
+        Hs, Ws = jax.tree.leaves(arrays)[0].shape
+        r, k, p = radius, n_subiterations, iters_per_pass
+        m = cell_sublane_multiple(arrays)
+        hp = halo_width(r, p, k)
+        hpm = round_up(hp, m)
+        self.mode = mode
+        self.interpret = interpret
+        self.hpm = hpm
+        self.m = m
+
+        if mode == "clamped":
+            T = max(strip_rows, hpm)
+            win_rows = T + 2 * hpm
+            assert Hs % T == 0 and Hs >= win_rows, (Hs, T, win_rows)
+            n_strips = Hs // T
+            out_rows = Hs
+        else:
+            core = Hs - 2 * hpm
+            T = min(strip_rows, core)
+            # extended windows index at i*T: T must divide the core rows.
+            while core % T:
+                T -= m
+            T = max(T, m)
+            assert core % T == 0, (core, T)
+            win_rows = T + 2 * hpm
+            n_strips = core // T
+            out_rows = core
+        self.T, self.win_rows, self.n_strips, self.out_rows = T, win_rows, n_strips, out_rows
+
+        has_partial = (n_iterations % p) != 0
+        aligned = mode == "clamped" and Hs == H and Ws == W
+
+        def encode_store(a, like):
+            return a.astype(jnp.int8) if like.dtype == jnp.bool_ else a
+
+        def decode_store(a, like):
+            return a.astype(jnp.bool_) if like.dtype == jnp.bool_ else a
+
+        self._encode_store = encode_store
+        self._decode_store = decode_store
+
+        ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
+        self.ktdv = ktdv
+
+        offset0 = jnp.asarray(0, jnp.int32)
+
+        def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, active, tdv):
+            out, _, _ = fused_substep(
+                window,
+                tf,
+                halo_cell,
+                origin_row,
+                jnp.asarray(0, jnp.int32),
+                (H, W),
+                i_abs,
+                tdv,
+                active if has_partial else True,
+                radius=r,
+                n_subiterations=k,
+                row_mode="pad",
+                col_mode="pad",
+                oog_mask=False if aligned else oog_mask,
+            )
+            return out
+
+        example_window = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((win_rows, Ws), a.dtype), arrays
+        )
+        example_mask = jax.ShapeDtypeStruct((win_rows, Ws), jnp.bool_)
+        i0 = jnp.asarray(0, jnp.int32)
+        from . import fused as _fused
+
+        _prev_impl = _fused.SHIFT_IMPL
+        _fused.SHIFT_IMPL = shift_impl
+        try:
+            hoisted_step = HoistedFn(
+                step_fn,
+                example_window,
+                tf,
+                halo_cell,
+                i0,
+                example_mask,
+                i0,
+                jnp.asarray(True),
+                ktdv.example,
+            )
+        finally:
+            _fused.SHIFT_IMPL = _prev_impl
+
+        tf_ops = Operands(tf, vectors_as_refs=False)
+        halo_ops = Operands(halo_cell)
+        scal_example = (i0, offset0, jnp.asarray(base_origin, jnp.int32))
+        scal_ops = Operands(scal_example)
+        const_ops = Operands(hoisted_step.consts, vectors_as_refs=False)
+        groups = (scal_ops, tf_ops, halo_ops, const_ops)
+        counts = [len(g.values) for g in groups] + [len(ktdv.operands)]
+        self._groups = groups
+
+        n_fields = len(jax.tree.leaves(arrays))
+        arrays_treedef = jax.tree.structure(arrays)
+        dtypes = [a.dtype for a in jax.tree.leaves(arrays)]
+
+        def window_origin(i):
+            if mode == "clamped":
+                return jnp.clip(i * T - hpm, 0, Hs - win_rows)
+            return i * T
+
+        def kernel(*refs):
+            it = iter(refs)
+            parts = [[next(it) for _ in range(c)] for c in counts]
+            win_refs = [next(it) for _ in range(n_fields)]
+            out_refs = list(it)
+            i_start_v, offset_v, base_origin_v = scal_ops.decode(parts[0])
+            tf_v = tf_ops.decode(parts[1])
+            halo_v = halo_ops.decode(parts[2])
+            consts_v = const_ops.decode(parts[3])
+            tdv_decoded = ktdv.decode(parts[4])
+
+            i = pl.program_id(0)
+            origin_row = base_origin_v + jnp.asarray(window_origin(i), jnp.int32)
+            window_stored = [wr[:] for wr in win_refs]
+            # Loop-invariant out-of-grid mask (columns span the full width,
+            # so only the row coordinate and storage col padding matter).
+            # int8 across the loop boundary: Mosaic miscompiles bool carries.
+            wrow = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 0) + origin_row
+            oog = wrow >= H
+            if mode == "extended":
+                oog = oog | (wrow < 0)
+            if W != Ws:
+                wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
+                oog = oog | (wcol >= W)
+            # int8 at the loop-body boundary: Mosaic miscompiles bool values
+            # crossing fori scopes.
+            oog8 = oog.astype(jnp.int8)
+
+            if mode == "extended":
+                # Mesh-edge halos arrive as ppermute zeros: out-of-grid
+                # positions must present the halo value from the FIRST
+                # sub-step (the re-mask inside fused_substep only maintains
+                # it afterwards). Clamped mode stores hv in its padding rows
+                # and needs no entry mask.
+                halo_stored = [
+                    jnp.asarray(
+                        hv, jnp.int8 if dt == jnp.bool_ else dt
+                    )
+                    for hv, dt in zip(jax.tree.leaves(halo_v), dtypes)
+                ]
+                window_stored = [
+                    jnp.where(oog, hv, l)
+                    for l, hv in zip(window_stored, halo_stored)
+                ]
+
+            def step_body(s, leaves):
+                i_abs = i_start_v + s
+                if has_partial:
+                    i_rel = lax.max(0, lax.min(i_abs - offset_v, n_iterations - 1))
+                else:
+                    i_rel = i_abs - offset_v
+                tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
+                window = jax.tree.unflatten(
+                    arrays_treedef,
+                    [
+                        l.astype(jnp.bool_) if dt == jnp.bool_ else l
+                        for l, dt in zip(leaves, dtypes)
+                    ],
+                )
+                w = hoisted_step(
+                    window,
+                    tf_v,
+                    halo_v,
+                    origin_row,
+                    oog8.astype(jnp.bool_),
+                    jnp.asarray(i_abs, jnp.int32),
+                    i_abs < offset_v + n_iterations,
+                    tdv,
+                    consts=consts_v,
+                )
+                return [
+                    l.astype(jnp.int8) if dt == jnp.bool_ else l
+                    for l, dt in zip(jax.tree.leaves(w), dtypes)
+                ]
+
+            leaves = lax.fori_loop(0, p, step_body, window_stored, unroll=unroll)
+
+            # Core extraction. Clamped mode: the window-relative core offset
+            # is i*T - origin — 0 for a top-clamped window, 2*hpm for a
+            # bottom-clamped one, hpm otherwise (Mosaic has no dynamic value
+            # slicing: select among the three static slices). Extended mode:
+            # always hpm (windows never clamp).
+            def pick_core(a):
+                if mode == "extended":
+                    return lax.slice(a, (hpm, 0), (hpm + T, Ws))
+                s_first = lax.slice(a, (0, 0), (T, Ws))
+                s_mid = lax.slice(a, (hpm, 0), (hpm + T, Ws))
+                s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, Ws))
+                return jnp.where(
+                    i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid)
+                )
+
+            for ref, leaf in zip(out_refs, leaves):
+                ref[:] = pick_core(leaf)
+
+        self._kernel = kernel
+        self._win_spec = pl.BlockSpec(
+            (pl.Element(win_rows), pl.Element(Ws)),
+            lambda i: (pl.multiple_of(window_origin(i), m), 0),
+            memory_space=pltpu.VMEM,
+        )
+        self._out_spec = pl.BlockSpec(
+            (T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        self._n_fields = n_fields
+        self._Ws = Ws
+        self._arrays_treedef = arrays_treedef
+        self._dtypes = dtypes
+        window_bytes = win_rows * cell_row_bytes(arrays)
+        self._vmem_limit = min(int(window_bytes * 8) + (1 << 25), 120 * (1 << 20))
+
+    def run(self, arrays, i_start, offset, base_origin=0):
+        """One pass of ``iters_per_pass`` fused iterations.
+
+        ``arrays``: input block (store-encoded dtypes handled internally).
+        Returns the output block: clamped mode — same shape as the input;
+        extended mode — the core rows only (stored halo stripped).
+        """
+        scal_ops, tf_ops, halo_ops, const_ops = self._groups
+        scal_vals = Operands(
+            (
+                jnp.asarray(i_start, jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(base_origin, jnp.int32),
+            )
+        ).values
+        stored = [
+            self._encode_store(a, a) for a in jax.tree.leaves(arrays)
+        ]
+        outs = pl.pallas_call(
+            self._kernel,
+            grid=(self.n_strips,),
+            in_specs=(
+                list(scal_ops.specs)
+                + list(tf_ops.specs)
+                + list(halo_ops.specs)
+                + list(const_ops.specs)
+                + list(self.ktdv.specs)
+                + [self._win_spec] * self._n_fields
+            ),
+            out_specs=[self._out_spec] * self._n_fields,
+            out_shape=[
+                jax.ShapeDtypeStruct((self.out_rows, self._Ws), v.dtype)
+                for v in stored
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit,
+            ),
+            interpret=self.interpret,
+        )(
+            *scal_vals,
+            *tf_ops.values,
+            *halo_ops.values,
+            *const_ops.values,
+            *self.ktdv.operands,
+            *stored,
+        )
+        leaves = [
+            self._decode_store(o, jnp.zeros((), dt))
+            for o, dt in zip(outs, self._dtypes)
+        ]
+        return jax.tree.unflatten(self._arrays_treedef, leaves)

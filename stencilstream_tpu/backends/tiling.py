@@ -45,44 +45,18 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..core.grid import Grid
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
-from .fused import fused_substep, halo_width
-from .pallas_util import (
-    HoistedFn,
-    KernelTDV,
-    Operands,
-    round_up,
-    should_interpret,
-    sublane_multiple,
-)
+from .fused import halo_width
+from .pallas_util import round_up, should_interpret
+from .strip_pass import StripPass, cell_row_bytes, cell_sublane_multiple
 
 __all__ = ["StencilUpdate", "TILING_VMEM_BUDGET"]
 
 #: VMEM working budget for one strip window (with Pallas double buffering).
 TILING_VMEM_BUDGET = 96 * 1024 * 1024
-
-
-def _cell_sublane_multiple(arrays) -> int:
-    m = 8
-    for a in jax.tree.leaves(arrays):
-        dt = jnp.int8 if a.dtype == jnp.bool_ else a.dtype
-        m = max(m, sublane_multiple(dt))
-    return m
-
-
-def _cell_row_bytes(arrays) -> int:
-    leaves = jax.tree.leaves(arrays)
-    width = leaves[0].shape[1]
-    return sum(
-        width
-        * max(jnp.dtype(jnp.int8 if a.dtype == jnp.bool_ else a.dtype).itemsize, 1)
-        for a in leaves
-    )
 
 
 def pick_config(
@@ -97,8 +71,8 @@ def pick_config(
     per-app tuned ``{temporal_parallelism, tile size}`` tables
     (``examples/jacobi/kernels.hpp:236-253``)."""
     H, _ = jax.tree.leaves(arrays)[0].shape
-    m = _cell_sublane_multiple(arrays)
-    row_bytes = _cell_row_bytes(arrays)
+    m = cell_sublane_multiple(arrays)
+    row_bytes = cell_row_bytes(arrays)
 
     if strip_rows is None:
         # The kernel's VMEM working set is ~16 window-sized buffers (2+2
@@ -159,220 +133,54 @@ def _run_tiling(
     H, Ws = jax.tree.leaves(arrays)[0].shape
     W = logical_w if logical_w is not None else Ws
     r, k, p = radius, n_subiterations, iters_per_pass
-    m = _cell_sublane_multiple(arrays)
-    T = strip_rows
+    m = cell_sublane_multiple(arrays)
     hp = halo_width(r, p, k)
     hpm = round_up(hp, m)  # window margin, aligned for element offsets
     # Interior strips must never clamp (the core offset then takes exactly
     # three static values: 0, hpm, 2*hpm).
-    T = max(T, hpm)
+    T = max(strip_rows, hpm)
     win_rows = T + 2 * hpm
     # Carry rows: multiple of T (blocked output) and >= one full window.
     Hs = round_up(max(H, win_rows), T)
-    n_strips = Hs // T
     n_passes = -(-n_iterations // p)
     offset = jnp.asarray(offset, jnp.int32)
-    i_target = offset + n_iterations
 
-    def encode_store(a, like):
-        return a.astype(jnp.int8) if like.dtype == jnp.bool_ else a
-
-    def decode_store(a, like):
-        return a.astype(jnp.bool_) if like.dtype == jnp.bool_ else a
-
-    halo_store = jax.tree.map(
-        lambda hv, a: jnp.asarray(hv, jnp.int8 if a.dtype == jnp.bool_ else a.dtype),
-        halo_cell,
-        arrays,
+    halo_typed = jax.tree.map(
+        lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, arrays
     )
     # Row-padded carry (no halo frame needed: out-of-grid coordinates are
     # re-masked inside the kernel every sub-step).
     padded = jax.tree.map(
-        lambda a, hv: jnp.pad(
-            encode_store(a, a), ((0, Hs - H), (0, 0)), constant_values=hv
-        ),
+        lambda a, hv: jnp.pad(a, ((0, Hs - H), (0, 0)), constant_values=hv),
         arrays,
-        halo_store,
+        halo_typed,
     )
 
-    def window_origin(i):
-        return jnp.clip(i * T - hpm, 0, Hs - win_rows)
-
-    def window_decode(w):
-        return jax.tree.map(decode_store, w, arrays)
-
-    def window_encode(w):
-        return jax.tree.map(encode_store, w, arrays)
-
-    # Mosaic cannot dynamically index *values*, so the per-iteration TDV is
-    # looked up in-kernel through refs / a hoisted inline call, and the
-    # hoisted step takes it as an argument.
-    ktdv = KernelTDV(strategy, tf, tdv_aux, n_iterations)
-
-    # Static specializations: aligned grids (Hs == H) have no out-of-grid
-    # rows — the halo re-mask select drops out; when n divides evenly into
-    # passes, every pass is full — the pass-through select drops out.
-    aligned = Hs == H and Ws == W
-    has_partial = (n_iterations % p) != 0
-
-    def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, tdv):
-        out, _, _ = fused_substep(
-            window,
-            tf,
-            halo_cell,
-            origin_row,
-            jnp.asarray(0, jnp.int32),
-            (H, W),
-            i_abs,
-            tdv,
-            (i_abs < i_target) if has_partial else True,
-            radius=r,
-            n_subiterations=k,
-            row_mode="pad",
-            col_mode="pad",
-            oog_mask=False if aligned else oog_mask,
-        )
-        return out
-
-    example_window = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct((win_rows, Ws), a.dtype), arrays
+    sp = StripPass(
+        padded,
+        tf,
+        halo_cell,
+        strategy,
+        tdv_aux,
+        radius=r,
+        n_subiterations=k,
+        n_iterations=n_iterations,
+        iters_per_pass=p,
+        strip_rows=T,
+        grid_range=(H, W),
+        mode="clamped",
+        unroll=unroll,
+        shift_impl=shift_impl,
+        interpret=interpret,
     )
-    example_mask = jax.ShapeDtypeStruct((win_rows, Ws), jnp.bool_)
-    i0 = jnp.asarray(0, jnp.int32)
-    from . import fused as _fused
-
-    _prev_impl = _fused.SHIFT_IMPL
-    _fused.SHIFT_IMPL = shift_impl
-    try:
-        hoisted_step = HoistedFn(
-            step_fn, example_window, tf, halo_cell, i0, example_mask, i0, ktdv.example
-        )
-    finally:
-        _fused.SHIFT_IMPL = _prev_impl
-
-    tf_ops = Operands(tf, vectors_as_refs=False)
-    halo_ops = Operands(halo_cell)
-    scal_ops = Operands((i0, offset))
-    const_ops = Operands(hoisted_step.consts, vectors_as_refs=False)
-    groups = (scal_ops, tf_ops, halo_ops, const_ops)
-    counts = [len(g.values) for g in groups] + [len(ktdv.operands)]
-
-    n_fields = len(jax.tree.leaves(padded))
-    store_treedef = jax.tree.structure(padded)
-
-    def kernel(*refs):
-        it = iter(refs)
-        parts = [[next(it) for _ in range(c)] for c in counts]
-        win_refs = [next(it) for _ in range(n_fields)]
-        out_refs = list(it)
-        i_start_v, offset_v = scal_ops.decode(parts[0])
-        tf_v = tf_ops.decode(parts[1])
-        halo_v = halo_ops.decode(parts[2])
-        consts_v = const_ops.decode(parts[3])
-        tdv_decoded = ktdv.decode(parts[4])
-
-        i = pl.program_id(0)
-        origin_row = jnp.asarray(window_origin(i), jnp.int32)
-        window_stored = jax.tree.unflatten(
-            store_treedef, [wr[:] for wr in win_refs]
-        )
-        # Loop-invariant out-of-grid mask (grid cols span the full width, so
-        # only the row coordinate matters). int8, not bool: Mosaic
-        # miscompiles bool fori carries, so everything crossing the loop
-        # boundary rides in integer form.
-        wrow = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 0) + origin_row
-        oog = wrow >= H
-        if W != Ws:
-            wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
-            oog = oog | (wcol >= W)
-        oog8 = oog.astype(jnp.int8)
-
-        arrays_treedef = jax.tree.structure(arrays)
-
-        def step_body(s, leaves):
-            i_abs = i_start_v + s
-            if has_partial:
-                i_rel = lax.max(0, lax.min(i_abs - offset_v, n_iterations - 1))
-            else:
-                i_rel = i_abs - offset_v
-            tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
-            w = hoisted_step(
-                window_decode(jax.tree.unflatten(arrays_treedef, leaves)),
-                tf_v,
-                halo_v,
-                origin_row,
-                oog8.astype(jnp.bool_),
-                jnp.asarray(i_abs, jnp.int32),
-                tdv,
-                consts=consts_v,
-            )
-            return jax.tree.leaves(window_encode(w))
-
-        leaves = lax.fori_loop(
-            0, p, step_body, jax.tree.leaves(window_stored), unroll=unroll
-        )
-        out = jax.tree.unflatten(arrays_treedef, leaves)
-
-        # Core extraction. The window-relative core offset is i*T - origin:
-        # 0 for a top-clamped window, 2*hpm for a bottom-clamped one, hpm
-        # otherwise (hpm <= T guarantees only edge strips clamp). Mosaic has
-        # no dynamic value slicing, so select among the three static slices.
-        def pick_core(a):
-            s_first = lax.slice(a, (0, 0), (T, Ws))
-            s_mid = lax.slice(a, (hpm, 0), (hpm + T, Ws))
-            s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, Ws))
-            return jnp.where(
-                i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid)
-            )
-
-        for ref, leaf in zip(out_refs, jax.tree.leaves(out)):
-            ref[:] = pick_core(leaf)
-
-    win_spec = pl.BlockSpec(
-        (pl.Element(win_rows), pl.Element(Ws)),
-        lambda i: (pl.multiple_of(window_origin(i), m), 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_spec = pl.BlockSpec((T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    window_bytes = win_rows * _cell_row_bytes(arrays)
 
     def pass_body(i_pass, padded):
-        i_start = offset + i_pass * p
-        scal_vals = Operands((jnp.asarray(i_start, jnp.int32), offset)).values
-        outs = pl.pallas_call(
-            kernel,
-            grid=(n_strips,),
-            in_specs=(
-                list(scal_ops.specs)
-                + [s for g in groups[1:] for s in g.specs]
-                + list(ktdv.specs)
-                + [win_spec] * n_fields
-            ),
-            out_specs=[out_spec] * n_fields,
-            out_shape=[
-                jax.ShapeDtypeStruct((Hs, Ws), a.dtype)
-                for a in jax.tree.leaves(padded)
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(
-                    int(window_bytes * 8) + (1 << 25), 120 * (1 << 20)
-                ),
-            ),
-            interpret=interpret,
-        )(
-            *scal_vals,
-            *[v for g in groups[1:] for v in g.values],
-            *ktdv.operands,
-            *jax.tree.leaves(padded),
-        )
-        return jax.tree.unflatten(store_treedef, outs)
+        return sp.run(padded, offset + i_pass * p, offset)
 
     padded = lax.fori_loop(0, n_passes, pass_body, padded)
     return jax.tree.map(
-        lambda a, like: decode_store(lax.slice(a, (0, 0), (H, Ws)), like),
+        lambda a: lax.slice(a, (0, 0), (H, Ws)),
         padded,
-        arrays,
     )
 
 

@@ -20,7 +20,13 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "mesh_factor", "exchange_halo", "shift_from"]
+__all__ = [
+    "make_mesh",
+    "mesh_factor",
+    "exchange_halo",
+    "exchange_halo_rows",
+    "shift_from",
+]
 
 
 def mesh_factor(n: int) -> tuple[int, int]:
@@ -74,6 +80,33 @@ def shift_from(x: Any, axis_name: str, direction: int, axis_size: int) -> Any:
     else:
         perm = [(i + 1, i) for i in range(axis_size - 1)]
     return jax.tree.map(lambda a: lax.ppermute(a, axis_name, perm), x)
+
+
+def exchange_halo_rows(
+    local: Any, halo: int, axis_name: str = "y", axis_size: int | None = None
+) -> Any:
+    """Row-only halo exchange for 1D (row-sharded) meshes: extend a local
+    block of ``(h, w)`` leaves to ``(h + 2*halo, w)`` with the neighbors'
+    boundary rows. The lane (column) dimension is untouched — full-width
+    strips keep hardware-aligned widths for the Pallas local kernel.
+    Mesh-edge positions receive zeros (masked against the grid bounds by the
+    per-sub-step out-of-grid re-mask, like the reference's coordinate-based
+    halo substitution, ``tiling/internal/HaloTiledInputKernel.hpp:66-107``).
+    """
+    n = axis_size if axis_size is not None else lax.axis_size(axis_name)
+
+    def rows(a):
+        top = lax.slice_in_dim(a, a.shape[0] - halo, a.shape[0], axis=0)
+        bot = lax.slice_in_dim(a, 0, halo, axis=0)
+        return top, bot
+
+    tops, bots = zip(*[rows(a) for a in jax.tree.leaves(local)])
+    treedef = jax.tree.structure(local)
+    top_halo = shift_from(jax.tree.unflatten(treedef, list(tops)), axis_name, +1, n)
+    bot_halo = shift_from(jax.tree.unflatten(treedef, list(bots)), axis_name, -1, n)
+    return jax.tree.map(
+        lambda t, c, b: jnp.concatenate([t, c, b], axis=0), top_halo, local, bot_halo
+    )
 
 
 def exchange_halo(
