@@ -43,6 +43,9 @@ def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
     """Min walltime over SAMPLES runs of n_iterations (after a warmup run of
     the same configuration, which triggers the one compile)."""
     update = make_update(n_iterations)
+    # A silent oracle swap must never masquerade as a Pallas number
+    # (VERDICT round 1 #9): crash instead of falling back.
+    update.fallback_to_reference = False
     update(grid).block_until_ready()  # warmup/compile
     best = float("inf")
     for _ in range(SAMPLES):

@@ -50,6 +50,23 @@ def make_kernel(win_rows, Ws, T, hp, n_strips, p, variant):
         oob = (idx >= n - d) if d > 0 else (idx < -d)
         return jnp.where(oob, jnp.float32(0.0), out)
 
+    # Composite 2-step weights: the 13-point (radius-2) stencil equal to two
+    # applications of the 5-point one (interior only; micro ignores edges).
+    import numpy as _np
+
+    W1 = _np.zeros((5, 5))
+    W1[2, 2], W1[1, 2], W1[3, 2], W1[2, 1], W1[2, 3] = W0, WN, WS, WW, WE
+    W2 = _np.zeros((5, 5))
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
+            if W1[2 + dy, 2 + dx]:
+                for ey in range(-1, 2):
+                    for ex in range(-1, 2):
+                        if W1[2 + ey, 2 + ex]:
+                            W2[2 + dy + ey, 2 + dx + ex] += (
+                                W1[2 + dy, 2 + dx] * W1[2 + ey, 2 + ex]
+                            )
+
     def kernel(x_ref, o_ref):
         masks = {}
         if variant == "hoisted":
@@ -65,7 +82,46 @@ def make_kernel(win_rows, Ws, T, hp, n_strips, p, variant):
             east = shift(x, 1, 1, masks)
             return (W0 * x + WN * north + WS * south + WW * west + WE * east)
 
-        x = lax.fori_loop(0, p, substep, x_ref[:], unroll=True)
+        def substep_nomaskrow(_, x):
+            # Sublane (row) shifts without edge masks: wrapped rows land in
+            # the stale margin of interior strips. Lane shifts keep masks
+            # (true grid boundary).
+            n0, n1 = x.shape
+            north = pltpu.roll(x, 1 % n0, 0)
+            south = pltpu.roll(x, (-1) % n0, 0)
+            idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            west = jnp.where(idx < 1, 0.0, pltpu.roll(x, 1, 1))
+            east = jnp.where(idx >= n1 - 1, 0.0, pltpu.roll(x, n1 - 1, 1))
+            return (W0 * x + WN * north + WS * south + WW * west + WE * east)
+
+        def substep2_composite(_, x):
+            # One trip = TWO iterations via the 13-point composite. Row
+            # shifts shared across each row's lane taps; lane edges masked.
+            n0, n1 = x.shape
+            idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            acc = None
+            for dy in range(-2, 3):
+                row = x if dy == 0 else pltpu.roll(x, (-dy) % n0, 0)
+                for dx in range(-2, 3):
+                    wgt = W2[2 + dy, 2 + dx]
+                    if not wgt:
+                        continue
+                    if dx == 0:
+                        tap = row
+                    else:
+                        tap = pltpu.roll(row, (-dx) % n1, 1)
+                        oob = (idx >= n1 - dx) if dx > 0 else (idx < -dx)
+                        tap = jnp.where(oob, 0.0, tap)
+                    term = jnp.float32(wgt) * tap
+                    acc = term if acc is None else acc + term
+            return acc
+
+        if variant == "composite":
+            x = lax.fori_loop(0, p // 2, substep2_composite, x_ref[:], unroll=True)
+        elif variant == "nomaskrow":
+            x = lax.fori_loop(0, p, substep_nomaskrow, x_ref[:], unroll=True)
+        else:
+            x = lax.fori_loop(0, p, substep, x_ref[:], unroll=True)
         i = pl.program_id(0)
         s_first = lax.slice(x, (0, 0), (T, Ws))
         s_mid = lax.slice(x, (hp, 0), (hp + T, Ws))

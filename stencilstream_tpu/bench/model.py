@@ -93,15 +93,24 @@ def model_report(
     n_iterations: int,
     cell_bytes: int,
     measured_walltime: float,
+    *,
+    flops_per_cell: float = 0.0,
     **model_kwargs,
 ) -> dict:
     """Measured vs modeled, in the reference's report vocabulary
     (``benchmark-common.jl:124-173``): ``measured_throughput``,
     ``model_accuracy`` (measured/modeled), ``occupancy``
-    (measured vs single-pass roofline)."""
+    (measured vs single-pass roofline), plus ``vpu_utilization``
+    (useful FLOP rate / VPU peak — the efficiency metric regressions are
+    judged by round-over-round, VERDICT round 1 #10)."""
     measured = grid_cells * n_iterations / measured_walltime
     modeled_t = predicted_runtime(
-        spec, grid_cells, n_iterations, cell_bytes, **model_kwargs
+        spec,
+        grid_cells,
+        n_iterations,
+        cell_bytes,
+        flops_per_cell=flops_per_cell,
+        **model_kwargs,
     )
     modeled = grid_cells * n_iterations / modeled_t if modeled_t else float("inf")
     roof = roofline_cells_per_s(spec, cell_bytes)
@@ -112,4 +121,5 @@ def model_report(
         "model_accuracy": measured / modeled if modeled else 0.0,
         "single_pass_roofline_cells_per_s": roof,
         "occupancy_vs_roofline": measured / roof,
+        "vpu_utilization": measured * flops_per_cell / spec.vpu_flops,
     }
