@@ -116,10 +116,51 @@ def make_kernel(win_rows, Ws, T, hp, n_strips, p, variant):
                     acc = term if acc is None else acc + term
             return acc
 
+        def substep_fma(s, x):
+            # 5 dependent FMAs, no shifts: measures raw VPU FMA throughput.
+            for j in range(5):
+                x = jnp.float32(0.9997 + 0.0001 * j) * x + jnp.float32(1e-7 * (j + 1))
+            return x
+
+        def substep_shiftonly(s, x):
+            # 4 rolls + 3 adds, one mul: isolates shift cost.
+            n0, n1 = x.shape
+            a = pltpu.roll(x, 1, 0)
+            b = pltpu.roll(x, n0 - 1, 0)
+            c = pltpu.roll(x, 1, 1)
+            d = pltpu.roll(x, n1 - 1, 1)
+            return jnp.float32(0.249) * (a + b + c + d)
+
+        def run_shrink(x0):
+            # Rows SHRINK by r per side per substep (slices, no row masks);
+            # lanes stay pad-mode (roll + edge mask). After p substeps the
+            # surviving rows are exactly the strip core. Interior strips
+            # only — edge strips need per-substep hv re-injection.
+            x = x0
+            for s in range(p):
+                h = x.shape[0]
+                n1 = x.shape[1]
+                center = x[1 : h - 1, :]
+                north = x[0 : h - 2, :]
+                south = x[2:h, :]
+                idx = lax.broadcasted_iota(jnp.int32, center.shape, 1)
+                west = jnp.where(idx < 1, 0.0, pltpu.roll(center, 1, 1))
+                east = jnp.where(idx >= n1 - 1, 0.0, pltpu.roll(center, n1 - 1, 1))
+                x = (W0 * center + WN * north + WS * south + WW * west + WE * east)
+            return x
+
+        if variant == "shrink":
+            o_ref[:] = run_shrink(x_ref[:])
+            return
+
         if variant == "composite":
             x = lax.fori_loop(0, p // 2, substep2_composite, x_ref[:], unroll=True)
         elif variant == "nomaskrow":
             x = lax.fori_loop(0, p, substep_nomaskrow, x_ref[:], unroll=True)
+        elif variant == "fma":
+            x = lax.fori_loop(0, p, substep_fma, x_ref[:], unroll=True)
+        elif variant == "shiftonly":
+            x = lax.fori_loop(0, p, substep_shiftonly, x_ref[:], unroll=True)
         else:
             x = lax.fori_loop(0, p, substep, x_ref[:], unroll=True)
         i = pl.program_id(0)

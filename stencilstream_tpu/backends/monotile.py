@@ -148,6 +148,18 @@ def _run_monotile(
     counts = [len(g.values) for g in groups] + [len(ktdv.operands)]
     grid_treedef = jax.tree.structure(arrays)
 
+    # Loop-INVARIANT cell fields (a step output that is literally its own
+    # grid input in the jaxpr, e.g. HotSpot's power map): keep them out of
+    # the iteration-loop carry — read once, closure-captured — and write
+    # their output as a single copy instead of dragging them through every
+    # unrolled step (see strip_pass.StripPass for the tiling analog).
+    n_fields = len(jax.tree.leaves(arrays))
+    _win_invars = hoisted_step.jaxpr.invars[:n_fields]
+    invariant = [o is iv for o, iv in zip(hoisted_step.jaxpr.outvars, _win_invars)]
+    if all(invariant):
+        invariant = [False] * n_fields
+    vpos = [j for j, inv in enumerate(invariant) if not inv]
+
     def kernel(*refs):
         it = iter(refs)
         parts = [[next(it) for _ in range(c)] for c in counts]
@@ -160,18 +172,28 @@ def _run_monotile(
         tdv_decoded = ktdv.decode(parts[5])
 
         # Loop carries must not be bool (Mosaic miscompiles bool fori
-        # carries); ride int8 and cast at the step boundary.
+        # carries); ride int8 and cast at the step boundary. Only VARIANT
+        # fields are carried; invariant fields are closure-captured.
+        all_leaves = jax.tree.leaves(arrays_v)
+
         def carry_encode(leaves):
             return [
-                l.astype(jnp.int8) if dt == jnp.bool_ else l
-                for l, dt in zip(leaves, grid_ops.dtypes)
+                l.astype(jnp.int8) if grid_ops.dtypes[j] == jnp.bool_ else l
+                for l, j in zip(leaves, vpos)
             ]
 
         def carry_decode(leaves):
             return [
-                l.astype(jnp.bool_) if dt == jnp.bool_ else l
-                for l, dt in zip(leaves, grid_ops.dtypes)
+                l.astype(jnp.bool_) if grid_ops.dtypes[j] == jnp.bool_ else l
+                for l, j in zip(leaves, vpos)
             ]
+
+        def merge_full(vleaves):
+            full = list(vleaves)
+            for j in range(n_fields):
+                if invariant[j]:
+                    full.insert(j, all_leaves[j])
+            return full
 
         # Two-level-unroll bookkeeping must precede one_step: the overshoot
         # clamp is emitted only when it can actually trigger (jnp wrappers
@@ -188,14 +210,15 @@ def _run_monotile(
                 i_rel = i
             tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
             cur = hoisted_step(
-                jax.tree.unflatten(grid_treedef, carry_decode(leaves)),
+                jax.tree.unflatten(grid_treedef, merge_full(carry_decode(leaves))),
                 tf_v,
                 halo_v,
                 jnp.asarray(i_abs, jnp.int32),
                 tdv,
                 consts=consts_v,
             )
-            return carry_encode(jax.tree.leaves(cur))
+            out_leaves = jax.tree.leaves(cur)
+            return carry_encode([out_leaves[j] for j in vpos])
 
         # Two-level loop: Mosaic supports only full unrolling of fori_loop,
         # so the unroll factor is realized as u inline steps per trip
@@ -211,14 +234,19 @@ def _run_monotile(
                 leaves = new
             return leaves
 
-        leaves = carry_encode(jax.tree.leaves(arrays_v))
+        leaves = carry_encode([all_leaves[j] for j in vpos])
         if n_outer <= 1:
             leaves = iter_body(0, leaves)
         else:
             leaves = lax.fori_loop(0, n_outer, iter_body, leaves)
 
-        for ref, leaf in zip(out_refs, leaves):
-            ref[:] = leaf
+        leaves = iter(leaves)
+        for j, ref in enumerate(out_refs):
+            if invariant[j]:
+                v = all_leaves[j]
+                ref[:] = v.astype(jnp.int8) if grid_ops.dtypes[j] == jnp.bool_ else v
+            else:
+                ref[:] = next(leaves)
 
     grid_bytes = sum(v.size * v.dtype.itemsize for v in grid_ops.values)
     out = pl.pallas_call(
@@ -242,15 +270,6 @@ def _run_monotile(
         leaves.append(v.astype(jnp.bool_) if dt == jnp.bool_ else v)
     return jax.tree.unflatten(grid_ops.treedef, leaves)
 
-
-
-def _narrow_grid(grid: Grid) -> bool:
-    """Grids narrower than one vreg lane tile can't utilize the VPU and
-    trigger pathological Mosaic compiles (docs/DESIGN.md); run them through
-    the XLA oracle on hardware instead."""
-    import jax
-
-    return grid.width < 128 and jax.default_backend() == "tpu"
 
 
 class StencilUpdate(StencilUpdateBase):
@@ -280,11 +299,6 @@ class StencilUpdate(StencilUpdateBase):
         self.shift_impl = shift_impl
 
     def _update(self, grid: Grid) -> Grid:
-        if self.interpret is not True and _narrow_grid(grid):
-            from . import reference
-
-            ref = reference.StencilUpdate(self.params)
-            return ref._update(grid)
         p = self.params
         tf = p.transition_function
         strategy = self._tdv_strategy()

@@ -204,6 +204,24 @@ class StripPass:
         arrays_treedef = jax.tree.structure(arrays)
         dtypes = [a.dtype for a in jax.tree.leaves(arrays)]
 
+        # Loop-INVARIANT cell fields: a fused-step output that is literally
+        # its own window input in the jaxpr (e.g. HotSpot's power map,
+        # FDTD's material coefficients) never changes across sub-steps.
+        # Keep such fields out of the iteration-loop carry (read once,
+        # closure-captured) and skip their HBM output write entirely — the
+        # caller reuses the input array. This is the TPU analog of the
+        # reference streaming the full cell but only *computing* active
+        # fields; here it removes per-trip register copies and a write
+        # stream per invariant field.
+        win_invars = hoisted_step.jaxpr.invars[:n_fields]
+        outvars = hoisted_step.jaxpr.outvars
+        invariant = [o is iv for o, iv in zip(outvars, win_invars)]
+        if all(invariant):
+            invariant = [False] * n_fields  # degenerate; keep one output
+        self.invariant = invariant
+        vpos = [j for j, inv in enumerate(invariant) if not inv]
+        self._vpos = vpos
+
         def window_origin(i):
             if mode == "clamped":
                 return jnp.clip(i * T - hpm, 0, Hs - win_rows)
@@ -254,18 +272,24 @@ class StripPass:
                     for l, hv in zip(window_stored, halo_stored)
                 ]
 
-            def step_body(s, leaves):
+            # Invariant fields ride the closure (read once, never carried).
+            inv_stored = {j: window_stored[j] for j in range(n_fields) if invariant[j]}
+
+            def step_body(s, vleaves):
                 i_abs = i_start_v + s
                 if has_partial:
                     i_rel = lax.max(0, lax.min(i_abs - offset_v, n_iterations - 1))
                 else:
                     i_rel = i_abs - offset_v
                 tdv = ktdv.lookup(tdv_decoded, tf_v, i_rel, i_abs)
+                stored_all = list(vleaves)
+                for j, v in inv_stored.items():
+                    stored_all.insert(j, v)
                 window = jax.tree.unflatten(
                     arrays_treedef,
                     [
                         l.astype(jnp.bool_) if dt == jnp.bool_ else l
-                        for l, dt in zip(leaves, dtypes)
+                        for l, dt in zip(stored_all, dtypes)
                     ],
                 )
                 w = hoisted_step(
@@ -279,12 +303,17 @@ class StripPass:
                     tdv,
                     consts=consts_v,
                 )
+                out_leaves = jax.tree.leaves(w)
                 return [
-                    l.astype(jnp.int8) if dt == jnp.bool_ else l
-                    for l, dt in zip(jax.tree.leaves(w), dtypes)
+                    out_leaves[j].astype(jnp.int8)
+                    if dtypes[j] == jnp.bool_
+                    else out_leaves[j]
+                    for j in vpos
                 ]
 
-            leaves = lax.fori_loop(0, p, step_body, window_stored, unroll=unroll)
+            leaves = lax.fori_loop(
+                0, p, step_body, [window_stored[j] for j in vpos], unroll=unroll
+            )
 
             # Core extraction. Clamped mode: the window-relative core offset
             # is i*T - origin — 0 for a top-clamped window, 2*hpm for a
@@ -335,9 +364,9 @@ class StripPass:
                 jnp.asarray(base_origin, jnp.int32),
             )
         ).values
-        stored = [
-            self._encode_store(a, a) for a in jax.tree.leaves(arrays)
-        ]
+        in_leaves = jax.tree.leaves(arrays)
+        stored = [self._encode_store(a, a) for a in in_leaves]
+        vpos = self._vpos
         outs = pl.pallas_call(
             self._kernel,
             grid=(self.n_strips,),
@@ -349,10 +378,10 @@ class StripPass:
                 + list(self.ktdv.specs)
                 + [self._win_spec] * self._n_fields
             ),
-            out_specs=[self._out_spec] * self._n_fields,
+            out_specs=[self._out_spec] * len(vpos),
             out_shape=[
-                jax.ShapeDtypeStruct((self.out_rows, self._Ws), v.dtype)
-                for v in stored
+                jax.ShapeDtypeStruct((self.out_rows, self._Ws), stored[j].dtype)
+                for j in vpos
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=self._vmem_limit,
@@ -366,8 +395,20 @@ class StripPass:
             *self.ktdv.operands,
             *stored,
         )
-        leaves = [
-            self._decode_store(o, jnp.zeros((), dt))
-            for o, dt in zip(outs, self._dtypes)
-        ]
+        # Reassemble: variant fields from the kernel, invariant fields pass
+        # through untouched (clamped: the input IS the output; extended:
+        # strip the stored halo rows).
+        outs = iter(outs)
+        leaves = []
+        for j, a in enumerate(in_leaves):
+            if self.invariant[j]:
+                if self.mode == "extended":
+                    a = lax.slice(
+                        a, (self.hpm, 0), (self.hpm + self.out_rows, self._Ws)
+                    )
+                leaves.append(a)
+            else:
+                leaves.append(
+                    self._decode_store(next(outs), jnp.zeros((), self._dtypes[j]))
+                )
         return jax.tree.unflatten(self._arrays_treedef, leaves)

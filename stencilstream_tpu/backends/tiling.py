@@ -185,15 +185,6 @@ def _run_tiling(
 
 
 
-def _narrow_grid(grid: Grid) -> bool:
-    """Grids narrower than one vreg lane tile can't utilize the VPU and
-    trigger pathological Mosaic compiles (docs/DESIGN.md); run them through
-    the XLA oracle on hardware instead."""
-    import jax
-
-    return grid.width < 128 and jax.default_backend() == "tpu"
-
-
 class StencilUpdate(StencilUpdateBase):
     """Tiling (strip temporal-blocking) stencil updater.
 
@@ -226,11 +217,6 @@ class StencilUpdate(StencilUpdateBase):
         self.shift_impl = shift_impl
 
     def _update(self, grid: Grid) -> Grid:
-        if self.interpret is not True and _narrow_grid(grid):
-            from . import reference
-
-            ref = reference.StencilUpdate(self.params)
-            return ref._update(grid)
         p = self.params
         tf = p.transition_function
         strategy = self._tdv_strategy()
