@@ -8,7 +8,9 @@ cells * iterations / walltime. The baseline is the reference's published peak
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-Extended per-app results go to stderr and BENCH_DETAILS.json.
+Extended per-app results (incl. FDTD and Convection at reference-class
+scale and per-case model/utilization reports) go to stderr and
+BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stencilstream_tpu.core import Grid, Params
 from stencilstream_tpu.backends import create_update
+from stencilstream_tpu.bench.model import TpuSpec, model_report
 
 #: Reference baseline: HotSpot monotile peak, BittWare 520N FPGA
 #: (1.84 TFLOPS / 15 ops per cell).
@@ -35,7 +38,6 @@ BASELINE_HOTSPOT_GCELLS = 122.7
 #: Reference baseline: Jacobi tiling peak (176.08 GCell/s, README.md:78).
 BASELINE_JACOBI_GCELLS = 176.08
 
-WARMUP_ITERS = 8
 SAMPLES = 3
 
 
@@ -53,6 +55,29 @@ def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
         update(grid).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def result_row(app, backend, grid_shape, n_iterations, wall, flops_per_cell,
+               cell_bytes, baseline=None, **extra):
+    cells = grid_shape[0] * grid_shape[1]
+    gcells = cells * n_iterations / wall / 1e9
+    row = {
+        "app": app,
+        "backend": backend,
+        "grid": list(grid_shape),
+        "n_iterations": n_iterations,
+        "walltime_s": wall,
+        "gcells_per_s": gcells,
+        "gflops": gcells * flops_per_cell,
+        "model": model_report(
+            TpuSpec.detect(), cells, n_iterations, cell_bytes, wall,
+            flops_per_cell=flops_per_cell,
+        ),
+        **extra,
+    }
+    if baseline:
+        row["vs_baseline"] = gcells / baseline
+    return row
 
 
 def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
@@ -82,17 +107,8 @@ def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "til
         )
 
     wall = bench_update(grid, make_update, n_iterations)
-    gcells = size * size * n_iterations / wall / 1e9
-    return {
-        "app": "hotspot",
-        "backend": backend,
-        "grid": [size, size],
-        "n_iterations": n_iterations,
-        "walltime_s": wall,
-        "gcells_per_s": gcells,
-        "gflops": gcells * 15,
-        "vs_baseline": gcells / BASELINE_HOTSPOT_GCELLS,
-    }
+    return result_row("hotspot", backend, (size, size), n_iterations, wall,
+                      15, 8, baseline=BASELINE_HOTSPOT_GCELLS)
 
 
 def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
@@ -110,17 +126,70 @@ def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tili
         )
 
     wall = bench_update(grid, make_update, n_iterations)
-    gcells = size * size * n_iterations / wall / 1e9
-    return {
-        "app": "jacobi5_general",
-        "backend": backend,
-        "grid": [size, size],
-        "n_iterations": n_iterations,
-        "walltime_s": wall,
-        "gcells_per_s": gcells,
-        "gflops": gcells * 9,
-        "vs_baseline": gcells / BASELINE_JACOBI_GCELLS,
-    }
+    return result_row("jacobi5_general", backend, (size, size), n_iterations, wall,
+                      9, 4, baseline=BASELINE_JACOBI_GCELLS)
+
+
+def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling", **backend_kwargs):
+    """FDTD at the reference's mono-benchmark geometry (1024^2 grid,
+    ``examples/fdtd/experiments/mono_benchmark.json``); 22 nominal ops/cell
+    (14 + 8, ``examples/fdtd/scripts/benchmark.jl``), 32 B cells."""
+    from stencilstream_tpu.models import fdtd
+
+    params = fdtd.Parameters.from_json(
+        {
+            "tau": 100e-15,
+            "dx": 1.5655577299412914e-9,
+            "time": {"t_cutoff": 7.0, "t_detect": 14.0, "t_max": 15.0},
+            "source": {"frequency": 120e12, "phase": 3.0, "x": 0, "y": 0, "radius": 0},
+            "cavity_rings": [
+                {"radius": 800e-9, "mu_r": 11.56, "eps_r": 1.0, "sigma": 0.0}
+            ],
+        }
+    )
+    resolver = fdtd.CoefResolver(params)
+    grid = fdtd.init_grid(params, resolver)
+
+    def make_update(n):
+        update, _ = fdtd.build_simulation(
+            params, resolver=resolver, backend=backend, n_iterations=n,
+            tdv_strategy="precompute_on_host", **backend_kwargs,
+        )
+        return update
+
+    wall = bench_update(grid, make_update, n_iterations)
+    return result_row("fdtd", backend, grid.shape, n_iterations, wall, 22, 32)
+
+
+def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
+                     **backend_kwargs):
+    """Convection pseudo-transient kernel at the reference's cuda-benchmark
+    experiment scale (res=1024 -> 3071x1023 active cells,
+    ``examples/convection/experiments/cuda-benchmark.json``); 50 nominal
+    ops/cell, 44 B cells (11 f32 fields)."""
+    from stencilstream_tpu.models import convection
+
+    e = convection.Experiment(
+        lx=3.0, ly=1.0, px=1.5, py=0.5, eta0=1.0, DcT=1.0, deltaT=1.0,
+        Ra=1e7, Pra=1e3, res=1024, iterMax=50000, nt=100, nout=10,
+        nerr=100, epsilon=1e-4, dmp=2.0,
+    )
+    grid = convection.init_grid(e)
+
+    def make_update(n):
+        return create_update(
+            Params(
+                transition_function=convection.make_pseudo_transient_kernel(e),
+                halo_value=convection.zero_cell(),
+                n_iterations=n,
+                blocking=True,
+            ),
+            backend=backend,
+            **backend_kwargs,
+        )
+
+    wall = bench_update(grid, make_update, n_iterations)
+    return result_row("convection", backend, grid.shape, n_iterations, wall, 50, 44)
 
 
 def main() -> int:
@@ -128,22 +197,28 @@ def main() -> int:
     details = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
 
     if on_tpu:
-        # Protocol notes: large n_iterations amortizes the ~0.1 s per-call
-        # dispatch/sync round-trip of the tunneled runtime; unroll is the
-        # cross-substep CSE knob. Monotile peaks on VMEM-resident grids
-        # (like the reference's monotile peaks, BASELINE.md), tiling covers
-        # the 8192^2 configs.
+        # Tuned configs (measured on v5e, experiments/ sweeps). Large
+        # n_iterations amortizes the fixed per-call dispatch/fetch cost of
+        # the tunneled runtime; 8192^2 cases use n=4096 (walltime 2-4 s,
+        # overhead < 5%), comparable in spirit to the reference protocol of
+        # 2000*p iterations at peak grid (hotspot/scripts/benchmark.jl).
         cases = [
             ("hotspot_monotile", bench_hotspot,
-             dict(size=1280, n_iterations=65536, backend="monotile", unroll=4)),
+             dict(size=1280, n_iterations=65536, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
-             dict(size=8192, n_iterations=1024, backend="tiling",
+             dict(size=8192, n_iterations=4096, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),
             ("jacobi_monotile", bench_jacobi,
              dict(size=2048, n_iterations=131072, backend="monotile")),
             ("jacobi_tiling", bench_jacobi,
-             dict(size=8192, n_iterations=1024, backend="tiling",
+             dict(size=8192, n_iterations=4096, backend="tiling",
                   strip_rows=128, iters_per_pass=8, unroll=8)),
+            ("fdtd_tiling", bench_fdtd,
+             dict(n_iterations=8192, backend="tiling",
+                  strip_rows=64, iters_per_pass=8, unroll=8)),
+            ("convection_tiling", bench_convection,
+             dict(n_iterations=4096, backend="tiling",
+                  strip_rows=64, iters_per_pass=4, unroll=4)),
         ]
     else:
         cases = [
@@ -157,8 +232,9 @@ def main() -> int:
             r = fn(**kw)
             r["case"] = label
             results.append(r)
-            print(f"[bench] {label}: {r['gcells_per_s']:.2f} GCell/s "
-                  f"({r['vs_baseline']:.2f}x baseline)", file=sys.stderr)
+            vs = f" ({r['vs_baseline']:.2f}x baseline)" if "vs_baseline" in r else ""
+            print(f"[bench] {label}: {r['gcells_per_s']:.2f} GCell/s{vs}",
+                  file=sys.stderr)
         except Exception as e:  # keep the headline metric robust
             print(f"[bench] {label} failed: {type(e).__name__}: {e}", file=sys.stderr)
             details[f"{label}_error"] = f"{type(e).__name__}: {e}"

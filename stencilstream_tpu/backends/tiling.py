@@ -104,6 +104,7 @@ def pick_config(
         "unroll",
         "shift_impl",
         "logical_w",
+        "window_mode",
     ),
 )
 def _run_tiling(
@@ -123,6 +124,7 @@ def _run_tiling(
     unroll: int = 1,
     shift_impl: str = "concat",
     logical_w: int | None = None,
+    window_mode: str = "clamped",
 ):
     if n_iterations == 0:
         return arrays
@@ -156,26 +158,67 @@ def _run_tiling(
         halo_typed,
     )
 
-    sp = StripPass(
-        padded,
-        tf,
-        halo_cell,
-        strategy,
-        tdv_aux,
-        radius=r,
-        n_subiterations=k,
-        n_iterations=n_iterations,
-        iters_per_pass=p,
-        strip_rows=T,
-        grid_range=(H, W),
-        mode="clamped",
-        unroll=unroll,
-        shift_impl=shift_impl,
-        interpret=interpret,
-    )
+    if window_mode == "extended":
+        # Same kernel shape the distributed backend runs: the carry is
+        # framed with hpm stored halo-value rows per pass, windows index at
+        # i*T (never clamp) and the core offset is static. The per-pass
+        # frame concat costs one extra copy stream but removes the clamped
+        # path's 3-way core select + clipped index maps — measured faster
+        # for some apps; a per-app TUNED choice.
+        frame = jax.tree.map(
+            lambda a, hv: jnp.full((hpm, Ws), hv, a.dtype), arrays, halo_typed
+        )
+        ext_example = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((Hs + 2 * hpm, Ws), a.dtype), arrays
+        )
+        sp = StripPass(
+            ext_example,
+            tf,
+            halo_cell,
+            strategy,
+            tdv_aux,
+            radius=r,
+            n_subiterations=k,
+            n_iterations=n_iterations,
+            iters_per_pass=p,
+            strip_rows=T,
+            grid_range=(H, W),
+            mode="extended",
+            base_origin=jnp.asarray(-hpm, jnp.int32),
+            unroll=unroll,
+            shift_impl=shift_impl,
+            interpret=interpret,
+        )
 
-    def pass_body(i_pass, padded):
-        return sp.run(padded, offset + i_pass * p, offset)
+        def pass_body(i_pass, padded):
+            ext = jax.tree.map(
+                lambda f, c: jnp.concatenate([f, c, f], axis=0), frame, padded
+            )
+            return sp.run(
+                ext, offset + i_pass * p, offset, jnp.asarray(-hpm, jnp.int32)
+            )
+
+    else:
+        sp = StripPass(
+            padded,
+            tf,
+            halo_cell,
+            strategy,
+            tdv_aux,
+            radius=r,
+            n_subiterations=k,
+            n_iterations=n_iterations,
+            iters_per_pass=p,
+            strip_rows=T,
+            grid_range=(H, W),
+            mode="clamped",
+            unroll=unroll,
+            shift_impl=shift_impl,
+            interpret=interpret,
+        )
+
+        def pass_body(i_pass, padded):
+            return sp.run(padded, offset + i_pass * p, offset)
 
     padded = lax.fori_loop(0, n_passes, pass_body, padded)
     return jax.tree.map(
@@ -195,6 +238,9 @@ class StencilUpdate(StencilUpdateBase):
     * ``iters_per_pass`` — temporal parallelism p, iterations fused per HBM
       round trip (auto: ~33% halo overhead).
     * ``interpret`` — force Pallas interpreter mode (auto: off-TPU only).
+    * ``window_mode`` — ``"clamped"`` (windows clip at the carry edges) or
+      ``"extended"`` (halo-framed carry, static core offsets — the same
+      kernel shape the distributed backend runs; faster for some apps).
     """
 
     _can_fallback = True
@@ -208,6 +254,7 @@ class StencilUpdate(StencilUpdateBase):
         interpret: bool | None = None,
         unroll: int = 1,
         shift_impl: str = "concat",
+        window_mode: str = "clamped",
     ):
         super().__init__(params)
         self.strip_rows = strip_rows
@@ -215,6 +262,7 @@ class StencilUpdate(StencilUpdateBase):
         self.interpret = interpret
         self.unroll = unroll
         self.shift_impl = shift_impl
+        self.window_mode = window_mode
 
     def _update(self, grid: Grid) -> Grid:
         p = self.params
@@ -222,6 +270,28 @@ class StencilUpdate(StencilUpdateBase):
         strategy = self._tdv_strategy()
         halo_cell = resolve_halo(p.halo_value, grid)
         n = int(p.n_iterations)
+
+        # Wide-and-short grids (too few rows to strip) run TRANSPOSED: the
+        # decomposition follows the longer axis, the reference's 2D tile
+        # calculus restated for full-width strips (tiling/Grid.hpp:305-424).
+        # The Stencil view makes the transposition invisible to the kernel.
+        if grid.height < 128 <= grid.width:
+            from .transpose import TransposedKernel, transpose_arrays
+
+            import dataclasses
+
+            inner = StencilUpdate(
+                dataclasses.replace(p, transition_function=TransposedKernel(tf)),
+                strip_rows=self.strip_rows,
+                iters_per_pass=self.iters_per_pass,
+                interpret=self.interpret,
+                unroll=self.unroll,
+                shift_impl=self.shift_impl,
+                window_mode=self.window_mode,
+            )
+            inner.fallback_to_reference = self.fallback_to_reference
+            out = inner._update(Grid(transpose_arrays(grid.arrays)))
+            return Grid(transpose_arrays(out.arrays))
 
         strip_rows, iters_per_pass = pick_config(
             grid.arrays,
@@ -266,6 +336,7 @@ class StencilUpdate(StencilUpdateBase):
             unroll=self.unroll,
             shift_impl=self.shift_impl,
             logical_w=W,
+            window_mode=self.window_mode,
         )
         if Ws != W:
             out = jax.tree.map(lambda a: a[:, :W], out)

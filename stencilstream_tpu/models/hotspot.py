@@ -49,9 +49,12 @@ FLOPS_PER_CELL = 15
 
 #: Measured-peak backend configs on TPU v5e — the analog of the reference's
 #: per-backend tuned tables (hotspot.cpp:99-139). Applied by :func:`run`
-#: when the caller passes no explicit backend kwargs.
+#: when the caller passes no explicit backend kwargs. Round-2 sweep
+#: (experiments/marginal_backend.py): monotile 1280^2 peaks at unroll=8
+#: (167.9 GCell/s); tiling 8192^2 peaks at strip 64 x p 8 fully unrolled
+#: (148.8 GCell/s marginal) — smaller windows (~5 MB) schedule best.
 TUNED = {
-    "monotile": dict(unroll=4),
+    "monotile": dict(unroll=8),
     "tiling": dict(strip_rows=64, iters_per_pass=8, unroll=8),
 }
 
@@ -86,12 +89,21 @@ class HotspotKernel:
         left = jnp.where(s.col == 0, old, s[0, -1].temp)
         right = jnp.where(s.col == w - 1, old, s[0, 1].temp)
 
-        new_temp = old + self.Cap_1 * (
-            power
-            + (bottom + top - 2.0 * old) * self.Ry_1
-            + (right + left - 2.0 * old) * self.Rx_1
-            + (AMB_TEMP - old) * self.Rz_1
+        # Same update as hotspot.cpp:90-92, reassociated for the VPU: the
+        # constant products fold at trace time and the neighbor terms chain
+        # as FMAs, cutting per-sub-step arithmetic from ~10 ops to ~7
+        # (mathematically identical, f32 rounding differs by ulps):
+        #   new = old + Cap*(power + (b+t-2*old)*Ry + (r+l-2*old)*Rx
+        #                    + (AMB-old)*Rz)
+        #       = old - Cap*(2Ry+2Rx+Rz)*old + Cap*(power + AMB*Rz)
+        #         + (b+t)*(Cap*Ry) + (r+l)*(Cap*Rx)
+        old_coef = 1.0 - self.Cap_1 * (
+            2.0 * self.Ry_1 + 2.0 * self.Rx_1 + self.Rz_1
         )
+        acc = power + AMB_TEMP * self.Rz_1
+        acc = (bottom + top) * self.Ry_1 + acc
+        acc = (right + left) * self.Rx_1 + acc
+        new_temp = old * old_coef + acc * self.Cap_1
         return HotspotCell(temp=new_temp, power=power)
 
     def get_time_dependent_value(self, i):

@@ -118,3 +118,24 @@ def test_monotile_vmem_limit_error():
     )
     with pytest.raises(ValueError, match="tiling backend"):
         up(grid)
+
+
+def test_tiling_extended_window_mode_matches_clamped():
+    """window_mode="extended" (halo-framed carry, static core offsets — the
+    distributed backend's kernel shape) must agree with the probe contract
+    and the clamped mode."""
+    from stencilstream_tpu.backends import tiling
+
+    up = tiling.StencilUpdate(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            iteration_offset=1,
+            n_iterations=5,
+        ),
+        strip_rows=8,
+        iters_per_pass=2,
+        window_mode="extended",
+    )
+    up.fallback_to_reference = False
+    check_probe_grid(up(make_probe_grid(28, 11, iteration_offset=1)), 6)

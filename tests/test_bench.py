@@ -63,3 +63,24 @@ def test_run_benchmark_and_write_metrics(tmp_path):
 
 def test_detect_never_raises():
     assert TpuSpec.detect().hbm_bandwidth > 0
+
+
+def test_strip_kernel_stats_extraction():
+    """The ncu-analog metric extraction (bench.profile.strip_kernel_stats):
+    per-pass DMA bytes derived exactly from the strip-kernel geometry."""
+    from stencilstream_tpu.bench.profile import strip_kernel_stats
+
+    s = strip_kernel_stats(
+        (8192, 8192), [4, 4], [False, True],
+        radius=1, n_subiterations=1, iters_per_pass=8,
+        strip_rows=64, n_iterations=4096,
+        measured_walltime=2.0, flops_per_cell=15,
+    )
+    # 128 strips x 80-row windows x 8192 cols x 8 B/cell read per pass.
+    assert s["per_pass"]["hbm_read_bytes"] == 128 * 80 * 8192 * 8
+    # Only the variant field (temp) is written: 8192^2 x 4 B.
+    assert s["per_pass"]["hbm_write_bytes"] == 8192 * 8192 * 4
+    assert s["n_passes"] == 512
+    assert s["per_pass"]["redundancy"] == 1.25
+    assert 0 < s["vpu_utilization"] < 1
+    assert 0 < s["hbm_bw_fraction"] < 1
