@@ -151,9 +151,13 @@ def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling", **backend_kwar
     grid = fdtd.init_grid(params, resolver)
 
     def make_update(n):
+        # Inline TDV: the source amplitude is scalar math traced into the
+        # kernel — zero host work and no per-iteration stream operand (a
+        # 65536-deep host-TDV stream must ride VMEM and costs a per-step
+        # scalar load).
         update, _ = fdtd.build_simulation(
             params, resolver=resolver, backend=backend, n_iterations=n,
-            tdv_strategy="precompute_on_host", **backend_kwargs,
+            tdv_strategy="inline", **backend_kwargs,
         )
         return update
 
@@ -206,19 +210,19 @@ def main() -> int:
             ("hotspot_monotile", bench_hotspot,
              dict(size=1280, n_iterations=65536, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
-             dict(size=8192, n_iterations=4096, backend="tiling",
+             dict(size=8192, n_iterations=8192, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),
             ("jacobi_monotile", bench_jacobi,
              dict(size=2048, n_iterations=131072, backend="monotile")),
             ("jacobi_tiling", bench_jacobi,
-             dict(size=8192, n_iterations=4096, backend="tiling",
+             dict(size=8192, n_iterations=8192, backend="tiling",
                   strip_rows=128, iters_per_pass=8, unroll=8)),
             ("fdtd_tiling", bench_fdtd,
-             dict(n_iterations=8192, backend="tiling",
+             dict(n_iterations=131072, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),
             ("convection_tiling", bench_convection,
-             dict(n_iterations=4096, backend="tiling",
-                  strip_rows=64, iters_per_pass=4, unroll=4)),
+             dict(n_iterations=16384, backend="tiling",
+                  strip_rows=128, iters_per_pass=4, unroll=4)),
         ]
     else:
         cases = [

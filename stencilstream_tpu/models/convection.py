@@ -320,6 +320,14 @@ class Experiment:
         return 1.0 - self.dmp / self.ny
 
 
+#: Measured-peak backend configs on TPU v5e (the analog of the reference's
+#: tuned template parameters, convection.cpp:256-260): 16.2 GCell/s marginal
+#: for the pseudo-transient kernel at the cuda-benchmark scale (3071x1023).
+TUNED = {
+    "tiling": dict(strip_rows=128, iters_per_pass=4, unroll=4),
+}
+
+
 def make_pseudo_transient_kernel(e: Experiment, dtype=np.float32) -> PseudoTransientKernel:
     f = lambda v: dtype(v)
     return PseudoTransientKernel(
@@ -378,6 +386,7 @@ def run(
     """Full timestep loop with pseudo-transient convergence
     (``convection.cpp:399-478``). Returns ``(grid, stats)``."""
     halo = zero_cell(jnp.dtype(dtype))
+    tuned = TUNED.get(backend, {})
     pt_update = create_update(
         Params(
             transition_function=make_pseudo_transient_kernel(e, dtype),
@@ -386,6 +395,7 @@ def run(
             blocking=True,
         ),
         backend=backend,
+        **tuned,
     )
     thermal_update = create_update(
         Params(
@@ -397,6 +407,7 @@ def run(
             n_iterations=1,
         ),
         backend=backend,
+        **tuned,
     )
 
     grid = init_grid(e, dtype)

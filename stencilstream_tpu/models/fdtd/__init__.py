@@ -76,6 +76,15 @@ def init_grid(parameters: Parameters, resolver) -> Grid:
     return Grid.from_numpy(arrays)
 
 
+#: Measured-peak backend configs on TPU v5e (the analog of the reference's
+#: tuned template parameters, examples/fdtd/src/fdtd.cpp:50-82): 146 GCell/s
+#: marginal at the 1024^2 mono-benchmark geometry (round-2 sweeps).
+TUNED = {
+    "tiling": dict(strip_rows=64, iters_per_pass=8, unroll=8),
+    "monotile": dict(unroll=4),
+}
+
+
 def build_simulation(
     parameters: Parameters,
     resolver=None,
@@ -86,6 +95,8 @@ def build_simulation(
 ):
     if resolver is None:
         resolver = CoefResolver(parameters)
+    if not backend_kwargs:
+        backend_kwargs = TUNED.get(backend, {})
     kernel = make_kernel(parameters, resolver)
     update = create_update(
         Params(

@@ -31,6 +31,7 @@ the 0-based step within this call, ``i_abs = offset + i_rel``).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -44,6 +45,11 @@ __all__ = [
     "PrecomputeOnHostTDV",
     "resolve_tdv_strategy",
 ]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _batched_tdv(tf, idx):
+    return jax.vmap(lambda i: tf.get_time_dependent_value(i))(idx)
 
 
 class TDVStrategy:
@@ -113,7 +119,10 @@ class PrecomputeOnHostTDV(TDVStrategy):
             return None
         if getattr(tf, "tdv_host_batchable", False):
             idx = jnp.arange(n_iterations) + int(offset)
-            out = jax.jit(jax.vmap(tf.get_time_dependent_value))(idx)
+            # Jit the UNBOUND method: a bound method is a fresh object per
+            # call, which would miss the jit cache and retrace/recompile on
+            # every update call (~0.4 s each on the tunneled runtime).
+            out = _batched_tdv(tf, idx)
             if out is None or not jax.tree.leaves(out):
                 return None
             return out
