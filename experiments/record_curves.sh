@@ -7,6 +7,8 @@
 # per-call dispatch cost stays a small fraction.
 set -u
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 OUT=docs/metrics
 mkdir -p "$OUT"
 

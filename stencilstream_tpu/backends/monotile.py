@@ -31,7 +31,6 @@ are SMEM operands, so mutating them between calls never recompiles.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -146,6 +146,13 @@ CASES = {
 
 
 def main(argv=None) -> int:
+    import os
+
+    # Persistent compile cache: sweep/curve recording re-runs many sizes;
+    # without this every CLI invocation recompiles from scratch.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     from ..utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()

@@ -139,3 +139,40 @@ def test_tiling_extended_window_mode_matches_clamped():
     )
     up.fallback_to_reference = False
     check_probe_grid(up(make_probe_grid(28, 11, iteration_offset=1)), 6)
+
+
+def test_invariant_field_detection_hotspot():
+    """HotSpot's power map is an identity passthrough of the fused step:
+    StripPass must detect it (no carry, no HBM write), while temp stays
+    variant. FDTD's coefficient planes get the same treatment."""
+    import jax.numpy as jnp
+
+    from stencilstream_tpu.backends.base import resolve_halo
+    from stencilstream_tpu.backends.strip_pass import StripPass
+    from stencilstream_tpu.core import Grid
+    from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
+    from stencilstream_tpu.tdv import InlineTDV
+
+    arrays = HotspotCell(
+        temp=jnp.zeros((32, 128), jnp.float32),
+        power=jnp.zeros((32, 128), jnp.float32),
+    )
+    halo = resolve_halo(
+        HotspotCell(temp=jnp.float32(0), power=jnp.float32(0)), Grid(arrays)
+    )
+    sp = StripPass(
+        arrays,
+        derive_coefficients(32, 128),
+        halo,
+        InlineTDV(),
+        None,
+        radius=1,
+        n_subiterations=1,
+        n_iterations=8,
+        iters_per_pass=2,
+        strip_rows=16,
+        grid_range=(32, 128),  # aligned: the oog re-mask drops out
+        mode="clamped",
+        interpret=True,
+    )
+    assert sp.invariant == [False, True]  # [temp, power]
