@@ -208,7 +208,7 @@ def main() -> int:
         # 2000*p iterations at peak grid (hotspot/scripts/benchmark.jl).
         cases = [
             ("hotspot_monotile", bench_hotspot,
-             dict(size=1280, n_iterations=65536, backend="monotile", unroll=8)),
+             dict(size=1024, n_iterations=131072, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
              dict(size=8192, n_iterations=8192, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),

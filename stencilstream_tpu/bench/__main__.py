@@ -80,7 +80,10 @@ def _jacobi_case(size, backend, backend_kwargs, variant="jacobi5_general"):
 def _fdtd_case(size, backend, backend_kwargs):
     from ..models import fdtd
 
-    # Derived grid width scales with radius/dx; pick radius for the size.
+    # The grid is derived from the (cumulative) ring extent: width =
+    # ceil(2r/dx + 2) (Parameters.hpp:243-251), so a single ring of
+    # r = (size-2)/2*dx gives a size^2 grid; cells beyond the disk are
+    # perfect metal, so a material boundary stays in play.
     dx = 10e-9
     radius = (size - 2) / 2 * dx
     params = fdtd.Parameters.from_json(
@@ -90,7 +93,7 @@ def _fdtd_case(size, backend, backend_kwargs):
             "time": {"t_cutoff": 7.0, "t_detect": 4.0, "t_max": 1.0},
             "source": {"frequency": 120e12, "phase": 3.0, "x": 0, "y": 0, "radius": 0.0},
             "cavity_rings": [
-                {"radius": radius * 0.43, "mu_r": 11.56, "eps_r": 1.0, "sigma": 0.0}
+                {"radius": radius, "mu_r": 11.56, "eps_r": 1.0, "sigma": 0.0}
             ],
         }
     )
