@@ -38,7 +38,8 @@ BASELINE_HOTSPOT_GCELLS = 122.7
 #: Reference baseline: Jacobi tiling peak (176.08 GCell/s, README.md:78).
 BASELINE_JACOBI_GCELLS = 176.08
 
-SAMPLES = 3
+# min-of-5: the shared chip shows ~10% run-to-run throughput variance
+SAMPLES = 5
 
 
 def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
