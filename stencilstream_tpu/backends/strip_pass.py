@@ -115,8 +115,14 @@ class StripPass:
         if mode == "clamped":
             T = max(strip_rows, hpm)
             win_rows = T + 2 * hpm
-            assert Hs % T == 0 and Hs >= win_rows, (Hs, T, win_rows)
-            n_strips = Hs // T
+            assert Hs >= win_rows, (Hs, T, win_rows)
+            # T need not divide Hs: both input windows AND output blocks are
+            # element-indexed with clamped origins, so the last strip simply
+            # overlaps its predecessor (both compute identical values for the
+            # shared rows from the same pass input). This keeps the carry
+            # free of strip-alignment padding rows, which in turn makes the
+            # ``aligned`` mask-free fast path reachable for any strip size.
+            n_strips = -(-Hs // T)
             out_rows = Hs
         else:
             core = Hs - 2 * hpm
@@ -170,7 +176,11 @@ class StripPass:
         example_window = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct((win_rows, Ws), a.dtype), arrays
         )
-        example_mask = jax.ShapeDtypeStruct((win_rows, Ws), jnp.bool_)
+        # Aligned windows never consult the mask: trace without the operand
+        # (None flattens to no leaves) so no mask plumbing reaches the kernel.
+        example_mask = (
+            None if aligned else jax.ShapeDtypeStruct((win_rows, Ws), jnp.bool_)
+        )
         i0 = jnp.asarray(0, jnp.int32)
         from . import fused as _fused
 
@@ -227,6 +237,22 @@ class StripPass:
                 return jnp.clip(i * T - hpm, 0, Hs - win_rows)
             return i * T
 
+        def out_origin(i):
+            if mode == "clamped":
+                return jnp.minimum(i * T, out_rows - T)
+            return i * T
+
+        if mode == "clamped":
+            _w_os = [max(0, min(i * T - hpm, Hs - win_rows)) for i in range(n_strips)]
+            _o_os = [min(i * T, out_rows - T) for i in range(n_strips)]
+            core_specials = [
+                (i, o - w)
+                for i, (o, w) in enumerate(zip(_o_os, _w_os))
+                if o - w != hpm
+            ]
+        else:
+            core_specials = []
+
         def kernel(*refs):
             it = iter(refs)
             parts = [[next(it) for _ in range(c)] for c in counts]
@@ -241,19 +267,27 @@ class StripPass:
             i = pl.program_id(0)
             origin_row = base_origin_v + jnp.asarray(window_origin(i), jnp.int32)
             window_stored = [wr[:] for wr in win_refs]
-            # Loop-invariant out-of-grid mask (columns span the full width,
-            # so only the row coordinate and storage col padding matter).
-            # int8 across the loop boundary: Mosaic miscompiles bool carries.
-            wrow = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 0) + origin_row
-            oog = wrow >= H
-            if mode == "extended":
-                oog = oog | (wrow < 0)
-            if W != Ws:
-                wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
-                oog = oog | (wcol >= W)
-            # int8 at the loop-body boundary: Mosaic miscompiles bool values
-            # crossing fori scopes.
-            oog8 = oog.astype(jnp.int8)
+            if aligned:
+                # Window rows/cols all in-grid and window edges coincide with
+                # grid edges: no out-of-grid mask exists at all.
+                oog = oog8 = None
+            else:
+                # Loop-invariant out-of-grid mask (columns span the full
+                # width, so only the row coordinate and storage col padding
+                # matter). int8 across the loop boundary: Mosaic miscompiles
+                # bool carries.
+                wrow = (
+                    lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 0) + origin_row
+                )
+                oog = wrow >= H
+                if mode == "extended":
+                    oog = oog | (wrow < 0)
+                if W != Ws:
+                    wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
+                    oog = oog | (wcol >= W)
+                # int8 at the loop-body boundary: Mosaic miscompiles bool
+                # values crossing fori scopes.
+                oog8 = oog.astype(jnp.int8)
 
             if mode == "extended":
                 # Mesh-edge halos arrive as ppermute zeros: out-of-grid
@@ -297,7 +331,7 @@ class StripPass:
                     tf_v,
                     halo_v,
                     origin_row,
-                    oog8.astype(jnp.bool_),
+                    None if aligned else oog8.astype(jnp.bool_),
                     jnp.asarray(i_abs, jnp.int32),
                     i_abs < offset_v + n_iterations,
                     tdv,
@@ -316,20 +350,23 @@ class StripPass:
             )
 
             # Core extraction. Clamped mode: the window-relative core offset
-            # is i*T - origin — 0 for a top-clamped window, 2*hpm for a
-            # bottom-clamped one, hpm otherwise (Mosaic has no dynamic value
-            # slicing: select among the three static slices — measured
-            # FASTER than pl.when-predicated writes, which stall the output
-            # pipeline). Extended mode: always hpm (windows never clamp).
+            # is out_origin(i) - window_origin(i) — a STATIC per-strip value
+            # (both origins are static functions of i). Mosaic has no dynamic
+            # value slicing: select among the static slices actually present
+            # (at most 3 strips deviate from the interior offset hpm:
+            # the top-clamped first strip and the output-/window-clamped last
+            # one or two) — measured FASTER than pl.when-predicated writes,
+            # which stall the output pipeline. Extended mode: always hpm
+            # (windows never clamp).
             def pick_core(a):
                 if mode == "extended":
                     return lax.slice(a, (hpm, 0), (hpm + T, Ws))
-                s_first = lax.slice(a, (0, 0), (T, Ws))
-                s_mid = lax.slice(a, (hpm, 0), (hpm + T, Ws))
-                s_last = lax.slice(a, (2 * hpm, 0), (2 * hpm + T, Ws))
-                return jnp.where(
-                    i == 0, s_first, jnp.where(i == n_strips - 1, s_last, s_mid)
-                )
+                base = lax.slice(a, (hpm, 0), (hpm + T, Ws))
+                for idx, off in core_specials:
+                    base = jnp.where(
+                        i == idx, lax.slice(a, (off, 0), (off + T, Ws)), base
+                    )
+                return base
 
             for ref, leaf in zip(out_refs, leaves):
                 ref[:] = pick_core(leaf)
@@ -340,9 +377,19 @@ class StripPass:
             lambda i: (pl.multiple_of(window_origin(i), m), 0),
             memory_space=pltpu.VMEM,
         )
-        self._out_spec = pl.BlockSpec(
-            (T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
+        if mode == "clamped":
+            # Element-indexed clamped output blocks: the last strip's block
+            # overlaps its predecessor when T does not divide Hs (identical
+            # values are written to the shared rows).
+            self._out_spec = pl.BlockSpec(
+                (pl.Element(T), pl.Element(Ws)),
+                lambda i: (pl.multiple_of(out_origin(i), m), 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            self._out_spec = pl.BlockSpec(
+                (T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
         self._n_fields = n_fields
         self._Ws = Ws
         self._arrays_treedef = arrays_treedef

@@ -138,12 +138,15 @@ def _run_tiling(
     m = cell_sublane_multiple(arrays)
     hp = halo_width(r, p, k)
     hpm = round_up(hp, m)  # window margin, aligned for element offsets
-    # Interior strips must never clamp (the core offset then takes exactly
-    # three static values: 0, hpm, 2*hpm).
+    # Interior strips must never clamp (the core offset then takes static
+    # per-strip values computed at build time).
     T = max(strip_rows, hpm)
     win_rows = T + 2 * hpm
-    # Carry rows: multiple of T (blocked output) and >= one full window.
-    Hs = round_up(max(H, win_rows), T)
+    # Carry rows: sublane-aligned and >= one full window. NOT padded to a
+    # strip multiple — output blocks clamp instead — so grids whose height
+    # is already sublane-aligned keep Hs == H and take the mask-free
+    # ``aligned`` kernel regardless of the strip size chosen.
+    Hs = round_up(max(H, win_rows), m)
     n_passes = -(-n_iterations // p)
     offset = jnp.asarray(offset, jnp.int32)
 

@@ -67,7 +67,10 @@ class Jacobi3Constant:
     n_coefficients = 0
 
     def __call__(self, s):
-        return (s[-1, 0] + s[0, 0] + s[1, 0]) * jnp.float32(0.33333334)
+        # Center tap first: the accumulation chain then issues behind the
+        # in-flight neighbor rotates (measured +14% on v5e for the 5-point
+        # variants; same math, f32 sum order differs from kernels.hpp by ulps).
+        return (s[0, 0] + s[-1, 0] + s[1, 0]) * jnp.float32(0.33333334)
 
     def get_time_dependent_value(self, i):
         return None
@@ -99,7 +102,8 @@ class Jacobi5Constant:
     n_coefficients = 0
 
     def __call__(self, s):
-        return (s[-1, 0] + s[0, -1] + s[1, 0] + s[0, 1] + s[0, 0]) * jnp.float32(0.2)
+        # Center tap first (see Jacobi3Constant).
+        return (s[0, 0] + s[-1, 0] + s[0, -1] + s[1, 0] + s[0, 1]) * jnp.float32(0.2)
 
     def get_time_dependent_value(self, i):
         return None
@@ -143,12 +147,17 @@ class Jacobi5General:
     c4: float = 0.2
 
     def __call__(self, s):
+        # The accumulation chain STARTS with the center term: its operand is
+        # available immediately, so Mosaic issues the FMA chain behind the
+        # in-flight neighbor rotates. Center-last measured 143 GCell/s,
+        # center-first 163 on v5e 8192^2 (experiments/micro_order.py).
+        # Same math as kernels.hpp:236-272; f32 sum order differs by ulps.
         return (
-            self.c0 * s[-1, 0]
+            self.c4 * s[0, 0]
+            + self.c0 * s[-1, 0]
             + self.c1 * s[0, -1]
             + self.c2 * s[1, 0]
             + self.c3 * s[0, 1]
-            + self.c4 * s[0, 0]
         )
 
     def get_time_dependent_value(self, i):
@@ -166,11 +175,13 @@ class Jacobi9General:
     coef: tuple = (0.111111, 0.111111, 0.111111, 0.111111, 0.111111, 0.111111, 0.111111, 0.111111, 0.111111)
 
     def __call__(self, s):
-        total = None
+        # Center tap first (see Jacobi5General).
+        total = self.coef[4] * s[0, 0]
         for dr in (-1, 0, 1):
             for dc in (-1, 0, 1):
-                term = self.coef[(dr + 1) * 3 + (dc + 1)] * s[dr, dc]
-                total = term if total is None else total + term
+                if dr == 0 and dc == 0:
+                    continue
+                total = total + self.coef[(dr + 1) * 3 + (dc + 1)] * s[dr, dc]
         return total
 
     def get_time_dependent_value(self, i):
@@ -217,10 +228,12 @@ def init_grid(height: int, width: int) -> Grid:
 
 #: Measured-peak backend configs on TPU v5e (the reference's per-variant
 #: tuned tables, kernels.hpp:236-253). strip 112 + halo 8 makes the fused
-#: window exactly 128 rows — a power-of-two window measured ~7% faster than
-#: the neighboring sizes (round-2 sweeps).
+#: window exactly 128 rows — a power-of-two window measured faster than the
+#: neighboring sizes; ``roll`` shifts beat slice+concat by ~4% once the
+#: accumulation chain is center-first (166.9 vs 159.6 GCell/s marginal at
+#: 8192^2, experiments/micro_order.py + marginal_backend.py).
 TUNED = {
-    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8),
+    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8, shift_impl="roll"),
 }
 
 
