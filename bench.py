@@ -212,15 +212,16 @@ def main() -> int:
              dict(size=1024, n_iterations=131072, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
              dict(size=8192, n_iterations=8192, backend="tiling",
-                  strip_rows=64, iters_per_pass=8, unroll=8)),
+                  strip_rows=112, iters_per_pass=8, unroll=8)),
             ("jacobi_monotile", bench_jacobi,
              dict(size=2048, n_iterations=131072, backend="monotile")),
             ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=8192, backend="tiling",
-                  strip_rows=112, iters_per_pass=8, unroll=8)),
+                  strip_rows=112, iters_per_pass=8, unroll=8,
+                  shift_impl="roll")),
             ("fdtd_tiling", bench_fdtd,
              dict(n_iterations=131072, backend="tiling",
-                  strip_rows=64, iters_per_pass=8, unroll=8)),
+                  strip_rows=96, iters_per_pass=8, unroll=8)),
             ("convection_tiling", bench_convection,
              dict(n_iterations=16384, backend="tiling",
                   strip_rows=128, iters_per_pass=4, unroll=4)),

@@ -61,9 +61,14 @@ def halo_width(radius: int, iters_per_pass: int, n_subiterations: int) -> int:
 SHIFT_IMPL = "concat"
 
 
-def shifted(a, d: int, axis: int, hv):
+def shifted(a, d: int, axis: int, hv, mask: bool = True):
     """Shape-preserving shift: ``out[i] = a[i + d]`` along ``axis``, with the
     halo value where ``i + d`` runs past the array.
+
+    ``mask=False`` (transition functions declaring ``handles_boundary``)
+    skips the halo-value substitution: positions past the array edge hold
+    *wrapped* values the kernel must discard itself — this removes one
+    select (+ iota, for the roll lowering) per tap per sub-step.
 
     The slice-then-concat form is the neighbor idiom that composes safely
     under Mosaic — enlarging pads followed by slices miscompile when chained
@@ -75,6 +80,14 @@ def shifted(a, d: int, axis: int, hv):
     if as_bool:
         a = a.astype(jnp.int8)
     n = a.shape[axis]
+    if not mask:
+        if SHIFT_IMPL == "roll":
+            from jax.experimental.pallas import tpu as pltpu
+
+            out = pltpu.roll(a, (-d) % n, axis)
+        else:
+            out = jnp.roll(a, -d, axis)
+        return out.astype(jnp.bool_) if as_bool else out
     if SHIFT_IMPL == "roll":
         from jax.experimental.pallas import tpu as pltpu
 
@@ -152,6 +165,13 @@ def fused_substep(
     H, W = grid_range
     row0 = jnp.asarray(row0, jnp.int32)
     col0 = jnp.asarray(col0, jnp.int32)
+    # ``handles_boundary``: the transition function clamps/replaces every
+    # out-of-grid tap itself via ``stencil.id`` (the HotSpot pattern,
+    # ``examples/hotspot/hotspot.cpp:77-87``), so neighbor shifts skip the
+    # halo-value substitution — out-of-window tap positions carry wrapped
+    # values the kernel provably discards. The reference/oracle semantics
+    # (halo value presented at out-of-grid taps) stay the default.
+    tap_mask = not getattr(tf, "handles_boundary", False)
 
     for sub in range(n_subiterations):
         h, w = jax.tree.leaves(window)[0].shape
@@ -167,11 +187,11 @@ def fused_substep(
         def neighbor(dr: int, dc: int, _window=window, _nh=nh, _nw=nw):
             def one(a, hv):
                 if row_mode == "pad":
-                    a = shifted(a, dr, 0, hv)
+                    a = shifted(a, dr, 0, hv, mask=tap_mask)
                 else:
                     a = lax.slice_in_dim(a, r + dr, r + dr + _nh, axis=0)
                 if col_mode == "pad":
-                    a = shifted(a, dc, 1, hv)
+                    a = shifted(a, dc, 1, hv, mask=tap_mask)
                 else:
                     a = lax.slice_in_dim(a, r + dc, r + dc + _nw, axis=1)
                 return a

@@ -377,10 +377,11 @@ class StripPass:
             lambda i: (pl.multiple_of(window_origin(i), m), 0),
             memory_space=pltpu.VMEM,
         )
-        if mode == "clamped":
+        if mode == "clamped" and out_rows % T != 0:
             # Element-indexed clamped output blocks: the last strip's block
             # overlaps its predecessor when T does not divide Hs (identical
-            # values are written to the shared rows).
+            # values are written to the shared rows). When T divides Hs the
+            # plain blocked spec below is equivalent and pipelines better.
             self._out_spec = pl.BlockSpec(
                 (pl.Element(T), pl.Element(Ws)),
                 lambda i: (pl.multiple_of(out_origin(i), m), 0),

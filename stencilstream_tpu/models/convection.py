@@ -79,6 +79,10 @@ class PseudoTransientKernel:
 
     stencil_radius = 1
     n_subiterations = 3
+    # Every tap is guarded by coordinate masks below (the reference's
+    # ``if (x < nx && y < ny)`` pattern), so the fused backends may skip
+    # halo-value substitution in neighbor shifts (backends.fused.shifted).
+    handles_boundary = True
 
     nx: int = 0
     ny: int = 0
@@ -181,6 +185,7 @@ class ThermalSolverKernel:
 
     stencil_radius = 1
     n_subiterations = 2
+    handles_boundary = True  # same guard discipline as PseudoTransientKernel
 
     nx: int = 0
     ny: int = 0

@@ -80,7 +80,9 @@ def init_grid(parameters: Parameters, resolver) -> Grid:
 #: tuned template parameters, examples/fdtd/src/fdtd.cpp:50-82): 146 GCell/s
 #: marginal at the 1024^2 mono-benchmark geometry (round-2 sweeps).
 TUNED = {
-    "tiling": dict(strip_rows=64, iters_per_pass=8, unroll=8),
+    # strip 96 + the k=2 halo of 16 make the fused window exactly 128 rows
+    # (80.1 vs 76.3 GCell/s for strip 64, same-process A/B on v5e).
+    "tiling": dict(strip_rows=96, iters_per_pass=8, unroll=8),
     "monotile": dict(unroll=4),
 }
 

@@ -49,13 +49,15 @@ FLOPS_PER_CELL = 15
 
 #: Measured-peak backend configs on TPU v5e — the analog of the reference's
 #: per-backend tuned tables (hotspot.cpp:99-139). Applied by :func:`run`
-#: when the caller passes no explicit backend kwargs. Round-2 sweep
-#: (experiments/marginal_backend.py): monotile 1280^2 peaks at unroll=8
-#: (167.9 GCell/s); tiling 8192^2 peaks at strip 64 x p 8 fully unrolled
-#: (148.8 GCell/s marginal) — smaller windows (~5 MB) schedule best.
+#: when the caller passes no explicit backend kwargs. Round-2 sweeps
+#: (experiments/marginal_backend.py): monotile 1280^2 peaks at unroll=8;
+#: tiling 8192^2 peaks at strip 112 x p 8 fully unrolled — the halo makes
+#: the fused window exactly 128 rows, same power-of-two-window effect as
+#: jacobi (+6.5% vs strip 64, same-process A/B). Reachable since the
+#: clamped-output StripPass no longer pads the carry to a strip multiple.
 TUNED = {
     "monotile": dict(unroll=8),
-    "tiling": dict(strip_rows=64, iters_per_pass=8, unroll=8),
+    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8),
 }
 
 
@@ -73,6 +75,10 @@ class HotspotKernel:
 
     stencil_radius = 1
     n_subiterations = 1
+    # Every out-of-grid tap is replaced below via stencil.id clamps, so the
+    # fused backends may skip halo-value substitution in the neighbor
+    # shifts (raw wrap-rolls; see backends.fused.shifted).
+    handles_boundary = True
     Rx_1: float = 0.0
     Ry_1: float = 0.0
     Rz_1: float = 0.0
