@@ -105,7 +105,11 @@ class PseudoTransientKernel:
         c = s[0, 0]
         x, y = s.row, s.col
         nx, ny = self.nx, self.ny
-        dx, dy = self.dx, self.dy
+        # Vector division on the VPU is a multi-pass operation; all grid
+        # divisions here are by SCALAR parameters, so divide once in scalar
+        # space and multiply the vectors (f32 rounding differs from the
+        # reference's x/dx by ulps; the oracle evaluates this same form).
+        inv_dx, inv_dy = 1.0 / self.dx, 1.0 / self.dy
 
         if s.subiteration == 0:
             mask_v = (x < nx) & (y < ny + 1)
@@ -116,21 +120,21 @@ class PseudoTransientKernel:
 
             d_xa_vx = s[1, 0].Vx - c.Vx
             d_ya_vy = s[0, 1].Vy - c.Vy
-            delta_V = d_xa_vx / dx + d_ya_vy / dy
+            delta_V = d_xa_vx * inv_dx + d_ya_vy * inv_dy
             eta = self.eta0 * (1.0 - self.delta_eta_delta_T * (c.T + self.deltaT / 2.0))
 
             Pt = jnp.where(mask_p, c.Pt - self.delta_tau_iter / self.beta * delta_V, c.Pt)
             tau_xx = jnp.where(
-                mask_p, 2.0 * eta * (d_xa_vx / dx - (1.0 / 3.0) * delta_V), c.tau_xx
+                mask_p, 2.0 * eta * (d_xa_vx * inv_dx - (1.0 / 3.0) * delta_V), c.tau_xx
             )
             tau_yy = jnp.where(
-                mask_p, 2.0 * eta * (d_ya_vy / dy - (1.0 / 3.0) * delta_V), c.tau_yy
+                mask_p, 2.0 * eta * (d_ya_vy * inv_dy - (1.0 / 3.0) * delta_V), c.tau_yy
             )
             d_yi_vx = s[1, 1].Vx - s[1, 0].Vx
             d_xi_vy = s[1, 1].Vy - s[0, 1].Vy
             sigma_xy = jnp.where(
                 mask_p & (x < nx - 1) & (y < ny - 1),
-                eta * (d_yi_vx / dy + d_xi_vy / dx),
+                eta * (d_yi_vx * inv_dy + d_xi_vy * inv_dx),
                 c.sigma_xy,
             )
             return dataclasses.replace(
@@ -142,9 +146,9 @@ class PseudoTransientKernel:
             inner = (x >= 1) & (y >= 1)
             mask_x = inner & (x < nx) & (y < ny - 1)
             Rx = (1.0 / self.rho) * (
-                (c.tau_xx - s[-1, 0].tau_xx) / dx
-                + (s[-1, 0].sigma_xy - s[-1, -1].sigma_xy) / dy
-                - (c.Pt - s[-1, 0].Pt) / dx
+                (c.tau_xx - s[-1, 0].tau_xx) * inv_dx
+                + (s[-1, 0].sigma_xy - s[-1, -1].sigma_xy) * inv_dy
+                - (c.Pt - s[-1, 0].Pt) * inv_dx
             )
             dVxd_tau = jnp.where(
                 mask_x, self.dampX * c.dVxd_tau + Rx * self.delta_tau_iter, c.dVxd_tau
@@ -153,9 +157,9 @@ class PseudoTransientKernel:
 
             mask_y = inner & (x < nx - 1) & (y < ny)
             Ry = (1.0 / self.rho) * (
-                (c.tau_yy - s[0, -1].tau_yy) / dy
-                + (s[0, -1].sigma_xy - s[-1, -1].sigma_xy) / dx
-                - (c.Pt - s[0, -1].Pt) / dy
+                (c.tau_yy - s[0, -1].tau_yy) * inv_dy
+                + (s[0, -1].sigma_xy - s[-1, -1].sigma_xy) * inv_dx
+                - (c.Pt - s[0, -1].Pt) * inv_dy
                 + self.roh0_g_alpha * ((s[0, -1].T + c.T) * 0.5)
             )
             dVyd_tau = jnp.where(
@@ -201,24 +205,27 @@ class ThermalSolverKernel:
         c = s[0, 0]
         x, y = s.row, s.col
         nx, ny = self.nx, self.ny
-        dx, dy = self.dx, self.dy
+        # Scalar reciprocals instead of vector divisions (see
+        # PseudoTransientKernel.__call__).
+        inv_dx, inv_dy = 1.0 / self.dx, 1.0 / self.dy
 
         if s.subiteration == 0:
             mask = (x > 0) & (y > 0) & (x < nx - 1) & (y < ny - 1)
-            qTx_top_left = -self.DcT * (c.T - s[-1, 0].T) / dx
-            qTx_top = -self.DcT * (s[1, 0].T - c.T) / dx
-            qTy_top_left = -self.DcT * (c.T - s[0, -1].T) / dy
-            qTy_left = -self.DcT * (s[0, 1].T - c.T) / dy
+            qcx, qcy = -self.DcT * inv_dx, -self.DcT * inv_dy
+            qTx_top_left = qcx * (c.T - s[-1, 0].T)
+            qTx_top = qcx * (s[1, 0].T - c.T)
+            qTy_top_left = qcy * (c.T - s[0, -1].T)
+            qTy_left = qcy * (s[0, 1].T - c.T)
 
-            dT_dt = -((qTx_top - qTx_top_left) / dx + (qTy_left - qTy_top_left) / dy)
+            dT_dt = -((qTx_top - qTx_top_left) * inv_dx + (qTy_left - qTy_top_left) * inv_dy)
             zero = jnp.zeros_like(dT_dt)
-            dT_dt = dT_dt - jnp.where(c.Vx > 0, c.Vx * (c.T - s[-1, 0].T) / dx, zero)
+            dT_dt = dT_dt - jnp.where(c.Vx > 0, c.Vx * (c.T - s[-1, 0].T) * inv_dx, zero)
             dT_dt = dT_dt - jnp.where(
-                s[1, 0].Vx < 0, s[1, 0].Vx * (s[1, 0].T - c.T) / dx, zero
+                s[1, 0].Vx < 0, s[1, 0].Vx * (s[1, 0].T - c.T) * inv_dx, zero
             )
-            dT_dt = dT_dt - jnp.where(c.Vy > 0, c.Vy * (c.T - s[0, -1].T) / dy, zero)
+            dT_dt = dT_dt - jnp.where(c.Vy > 0, c.Vy * (c.T - s[0, -1].T) * inv_dy, zero)
             dT_dt = dT_dt - jnp.where(
-                s[0, 1].Vy < 0, s[0, 1].Vy * (s[0, 1].T - c.T) / dy, zero
+                s[0, 1].Vy < 0, s[0, 1].Vy * (s[0, 1].T - c.T) * inv_dy, zero
             )
             return dataclasses.replace(c, T=jnp.where(mask, c.T + dT_dt * self.dt, c.T))
 
