@@ -88,6 +88,19 @@ def pick_config(
         iters_per_pass = max(1, strip_rows // (4 * radius * n_subiterations))
     if n_iterations:
         iters_per_pass = min(iters_per_pass, n_iterations)
+
+    if strip_rows is not None and iters_per_pass:
+        # Power-of-two fused windows schedule measurably better on Mosaic
+        # (hotspot 64->112: +6.5%, fdtd 64->96: +5%, jacobi 128->112: +3%
+        # at a 128-row window; all round-2 same-process A/Bs). Snap the
+        # auto-chosen strip DOWN so strip + 2*halo lands on the nearest
+        # power of two when the adjustment keeps >= half the core rows.
+        hpm = round_up(radius * iters_per_pass * n_subiterations, m)
+        win = strip_rows + 2 * hpm
+        pow2 = 1 << (win.bit_length() - 1)
+        snapped = pow2 - 2 * hpm
+        if snapped >= max(m, strip_rows // 2) and snapped % m == 0:
+            strip_rows = min(snapped, round_up(H, m))
     return strip_rows, iters_per_pass
 
 
