@@ -176,3 +176,53 @@ def test_invariant_field_detection_hotspot():
         interpret=True,
     )
     assert sp.invariant == [False, True]  # [temp, power]
+
+
+from stencilstream_tpu.core import transition_function
+
+
+@transition_function
+class _SelfClampingKernel:
+    """Minimal ``handles_boundary`` kernel: clamps every out-of-grid tap via
+    ``stencil.id`` (the HotSpot boundary pattern, hotspot.cpp:77-87). The
+    fused backends skip halo-value substitution for it — out-of-window taps
+    hold wrapped garbage the kernel must fully discard; parity with the
+    oracle (which still presents the halo value) proves the contract."""
+
+    stencil_radius = 1
+    n_subiterations = 1
+    handles_boundary = True
+
+    def __call__(self, s):
+        c = s[0, 0]
+        h, w = s.grid_range
+        top = jnp.where(s.row == 0, c, s[-1, 0])
+        bottom = jnp.where(s.row == h - 1, c, s[1, 0])
+        left = jnp.where(s.col == 0, c, s[0, -1])
+        right = jnp.where(s.col == w - 1, c, s[0, 1])
+        return 0.2 * c + 0.2 * (top + bottom + left + right)
+
+    def get_time_dependent_value(self, i):
+        return None
+
+
+@pytest.mark.parametrize("backend,kw", BACKENDS, ids=lambda b: str(b))
+def test_handles_boundary_parity(backend, kw):
+    """A handles_boundary kernel must match the oracle bit-for-bit on every
+    fused backend, including at grid edges where wrap garbage must be fully
+    clamped away (and at sizes exercising clamped/overlapping strips)."""
+    kernel = _SelfClampingKernel()
+    rng = np.random.default_rng(5)
+    grid = Grid.from_numpy(rng.random((28, 37), np.float32))
+    ref = create_update(
+        Params(transition_function=kernel, n_iterations=5, blocking=True),
+        backend="reference",
+    )
+    up = create_update(
+        Params(transition_function=kernel, n_iterations=5, blocking=True),
+        backend=backend,
+        **kw,
+    )
+    a = ref(grid).to_numpy()
+    b = up(grid).to_numpy()
+    np.testing.assert_array_equal(a, b)
