@@ -24,8 +24,8 @@ for size in 1024 2048 4096 8192; do
     1024) n=65536;; 2048) n=16384;; 4096) n=8192;; 8192) n=4096;;
   esac
   run hotspot --backend tiling --size $size --n-iterations $n \
-      --strip-rows 64 --iters-per-pass 8 --unroll 8
-  run jacobi --variant jacobi5_general --backend tiling --size $size --n-iterations $n --strip-rows 128 --iters-per-pass 8 --unroll 8
+      --strip-rows 112 --iters-per-pass 8 --unroll 8
+  run jacobi --variant jacobi5_general --backend tiling --size $size --n-iterations $n --strip-rows 112 --iters-per-pass 8 --unroll 8 --shift-impl roll
 done
 for size in 1024 2048; do
   case $size in 1024) n=131072;; 2048) n=65536;; esac
@@ -38,7 +38,7 @@ done
 for size in 512 1024 2048; do
   case $size in 512) n=131072;; 1024) n=65536;; 2048) n=16384;; esac
   run fdtd --backend tiling --size $size --n-iterations $n \
-      --strip-rows 64 --iters-per-pass 8 --unroll 8
+      --strip-rows 96 --iters-per-pass 8 --unroll 8
 done
 for size in 768 1536 3072; do
   case $size in 768) n=32768;; 1536) n=16384;; 3072) n=8192;; esac

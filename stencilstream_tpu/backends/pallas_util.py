@@ -132,7 +132,7 @@ def _live_eqns(jaxpr):
     return live
 
 
-def _eval_jaxpr_tpu_safe(jaxpr, consts, *args, eqns=None):
+def _eval_jaxpr_tpu_safe(jaxpr, consts, *args, eqns=None, env0=None, outvars=None):
     """``core.eval_jaxpr`` with Mosaic-crash rewrites applied while
     re-emitting:
 
@@ -141,10 +141,13 @@ def _eval_jaxpr_tpu_safe(jaxpr, consts, *args, eqns=None):
       rewrite to mask logic ``(pred & t) | (~pred & f)``,
     * recurse into ``pjit``-wrapped sub-jaxprs so rewrites reach ops that
       jnp wraps in inner jits.
+
+    ``env0`` seeds additional var bindings (LICM boundary values);
+    ``outvars`` overrides which vars are read out (defaults to the jaxpr's).
     """
     from jax.extend.core import Literal
 
-    env = {}
+    env = dict(env0) if env0 else {}
 
     def read(v):
         return v.val if isinstance(v, Literal) else env[v]
@@ -176,7 +179,7 @@ def _eval_jaxpr_tpu_safe(jaxpr, consts, *args, eqns=None):
                 outs = [outs]
         for v, o in zip(eqn.outvars, outs):
             env[v] = o
-    return [read(v) for v in jaxpr.outvars]
+    return [read(v) for v in (jaxpr.outvars if outvars is None else outvars)]
 
 
 class HoistedFn:
@@ -207,6 +210,69 @@ class HoistedFn:
     def __call__(self, *args, consts):
         flat, _ = jax.tree.flatten(args)
         outs = _eval_jaxpr_tpu_safe(self.jaxpr, list(consts), *flat, eqns=self.eqns)
+        return jax.tree.unflatten(self.out_tree, outs)
+
+    # -- loop-invariant code motion --------------------------------------
+    def licm_split(self, varying_leaf_positions):
+        """Partition the live eqns into a loop-INVARIANT prefix (depends
+        only on the invars NOT listed in ``varying_leaf_positions``) and the
+        varying rest. Returns the boundary vars — invariant outputs the
+        varying eqns (or the jaxpr outputs) consume — whose values a caller
+        computes once via :meth:`run_prefix` and feeds each loop iteration
+        to :meth:`run_body`.
+
+        Motivation: Mosaic does not reliably CSE identical coordinate-mask
+        chains (iota + compare + and) across unrolled sub-steps; hoisting
+        them out of the iteration loop removes them wholesale (convection:
+        ~27 compares + 16 ands per iteration were re-emitted per sub-step).
+        """
+        from jax.extend.core import Literal
+
+        invars = self.jaxpr.invars
+        varying = {invars[i] for i in varying_leaf_positions}
+        known = set(self.jaxpr.constvars) | (set(invars) - varying)
+        inv_eqns, var_eqns = [], []
+        for eqn in self.eqns:
+            if not eqn.effects and all(
+                isinstance(v, Literal) or v in known for v in eqn.invars
+            ):
+                inv_eqns.append(eqn)
+                known.update(eqn.outvars)
+            else:
+                var_eqns.append(eqn)
+        needed = set()
+        for eqn in var_eqns:
+            needed.update(v for v in eqn.invars if not isinstance(v, Literal))
+        needed.update(
+            v for v in self.jaxpr.outvars if not isinstance(v, Literal)
+        )
+        boundary = [
+            v for eqn in inv_eqns for v in eqn.outvars if v in needed
+        ]
+        self._licm = (inv_eqns, var_eqns, boundary)
+        return boundary
+
+    def run_prefix(self, *args, consts):
+        """Evaluate the invariant prefix once; returns boundary values (in
+        ``licm_split`` order). Varying args may be placeholders — they are
+        never read."""
+        flat, _ = jax.tree.flatten(args)
+        inv_eqns, _, boundary = self._licm
+        return _eval_jaxpr_tpu_safe(
+            self.jaxpr, list(consts), *flat, eqns=inv_eqns, outvars=boundary
+        )
+
+    def run_body(self, *args, consts, boundary_vals):
+        """Evaluate the varying eqns with the invariant boundary seeded."""
+        flat, _ = jax.tree.flatten(args)
+        _, var_eqns, boundary = self._licm
+        outs = _eval_jaxpr_tpu_safe(
+            self.jaxpr,
+            list(consts),
+            *flat,
+            eqns=var_eqns,
+            env0=dict(zip(boundary, boundary_vals)),
+        )
         return jax.tree.unflatten(self.out_tree, outs)
 
 

@@ -99,6 +99,7 @@ class StripPass:
         base_origin=0,
         unroll: int = 1,
         shift_impl: str = "concat",
+        licm: bool = False,
         interpret: bool = False,
     ):
         H, W = grid_range
@@ -200,6 +201,28 @@ class StripPass:
             )
         finally:
             _fused.SHIFT_IMPL = _prev_impl
+
+        # Loop-invariant code motion: hoist every step eqn that depends only
+        # on per-strip-invariant inputs (tf params, halo, origin, the oog
+        # mask) out of the iteration loop — Mosaic does not CSE identical
+        # coordinate-mask chains across unrolled sub-steps, so mask-heavy
+        # kernels (convection) re-emit them per sub-step without this.
+        self.licm = licm
+        if licm:
+            _parts = (
+                example_window, tf, halo_cell, i0, example_mask, i0,
+                jnp.asarray(True), ktdv.example,
+            )
+            _sizes = [len(jax.tree.leaves(x)) for x in _parts]
+            _starts = [sum(_sizes[:j]) for j in range(len(_sizes))]
+            _vary_parts = (0, 5, 6, 7)  # window, i_abs, active, tdv
+            varying_positions = [
+                pos
+                for j in _vary_parts
+                for pos in range(_starts[j], _starts[j] + _sizes[j])
+            ]
+            licm_boundary = hoisted_step.licm_split(varying_positions)
+            licm_bound_dtypes = [v.aval.dtype for v in licm_boundary]
 
         tf_ops = Operands(tf, vectors_as_refs=False)
         halo_ops = Operands(halo_cell)
@@ -309,6 +332,31 @@ class StripPass:
             # Invariant fields ride the closure (read once, never carried).
             inv_stored = {j: window_stored[j] for j in range(n_fields) if invariant[j]}
 
+            if licm:
+                # Evaluate the invariant prefix ONCE per strip; the boundary
+                # values ride the closure into the step loop (bools as int8 —
+                # Mosaic miscompiles bool values crossing fori scopes).
+                # Varying args (window/i_abs/active/tdv) are placeholders the
+                # prefix provably never reads.
+                _placeholder_window = jax.tree.unflatten(
+                    arrays_treedef, window_stored
+                )
+                licm_vals = hoisted_step.run_prefix(
+                    _placeholder_window,
+                    tf_v,
+                    halo_v,
+                    origin_row,
+                    None if aligned else oog8.astype(jnp.bool_),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(True),
+                    ktdv.example,
+                    consts=consts_v,
+                )
+                licm_enc = [
+                    v.astype(jnp.int8) if v.dtype == jnp.bool_ else v
+                    for v in licm_vals
+                ]
+
             def step_body(s, vleaves):
                 i_abs = i_start_v + s
                 if has_partial:
@@ -326,7 +374,7 @@ class StripPass:
                         for l, dt in zip(stored_all, dtypes)
                     ],
                 )
-                w = hoisted_step(
+                step_args = (
                     window,
                     tf_v,
                     halo_v,
@@ -335,8 +383,17 @@ class StripPass:
                     jnp.asarray(i_abs, jnp.int32),
                     i_abs < offset_v + n_iterations,
                     tdv,
-                    consts=consts_v,
                 )
+                if licm:
+                    bvals = [
+                        v.astype(jnp.bool_) if dt == jnp.bool_ else v
+                        for v, dt in zip(licm_enc, licm_bound_dtypes)
+                    ]
+                    w = hoisted_step.run_body(
+                        *step_args, consts=consts_v, boundary_vals=bvals
+                    )
+                else:
+                    w = hoisted_step(*step_args, consts=consts_v)
                 out_leaves = jax.tree.leaves(w)
                 return [
                     out_leaves[j].astype(jnp.int8)

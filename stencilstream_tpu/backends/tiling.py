@@ -116,6 +116,7 @@ def pick_config(
         "interpret",
         "unroll",
         "shift_impl",
+        "licm",
         "logical_w",
         "window_mode",
     ),
@@ -136,6 +137,7 @@ def _run_tiling(
     interpret: bool,
     unroll: int = 1,
     shift_impl: str = "concat",
+    licm: bool = False,
     logical_w: int | None = None,
     window_mode: str = "clamped",
 ):
@@ -203,6 +205,7 @@ def _run_tiling(
             base_origin=jnp.asarray(-hpm, jnp.int32),
             unroll=unroll,
             shift_impl=shift_impl,
+            licm=licm,
             interpret=interpret,
         )
 
@@ -230,6 +233,7 @@ def _run_tiling(
             mode="clamped",
             unroll=unroll,
             shift_impl=shift_impl,
+            licm=licm,
             interpret=interpret,
         )
 
@@ -270,6 +274,7 @@ class StencilUpdate(StencilUpdateBase):
         interpret: bool | None = None,
         unroll: int = 1,
         shift_impl: str = "concat",
+        licm: bool = False,
         window_mode: str = "clamped",
     ):
         super().__init__(params)
@@ -278,6 +283,7 @@ class StencilUpdate(StencilUpdateBase):
         self.interpret = interpret
         self.unroll = unroll
         self.shift_impl = shift_impl
+        self.licm = licm
         self.window_mode = window_mode
 
     def _update(self, grid: Grid) -> Grid:
@@ -303,6 +309,7 @@ class StencilUpdate(StencilUpdateBase):
                 interpret=self.interpret,
                 unroll=self.unroll,
                 shift_impl=self.shift_impl,
+                licm=self.licm,
                 window_mode=self.window_mode,
             )
             inner.fallback_to_reference = self.fallback_to_reference
@@ -351,6 +358,7 @@ class StencilUpdate(StencilUpdateBase):
             interpret=interpret,
             unroll=self.unroll,
             shift_impl=self.shift_impl,
+            licm=self.licm,
             logical_w=W,
             window_mode=self.window_mode,
         )

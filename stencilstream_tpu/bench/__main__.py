@@ -178,6 +178,10 @@ def main(argv=None) -> int:
     parser.add_argument("--strip-rows", type=int, default=None)
     parser.add_argument("--iters-per-pass", type=int, default=None)
     parser.add_argument("--unroll", type=int, default=None)
+    parser.add_argument(
+        "--shift-impl", choices=["concat", "roll"], default=None,
+        help="neighbor-shift lowering for the Pallas backends",
+    )
     parser.add_argument("--out-dir", default=".")
     args = parser.parse_args(argv)
 
@@ -191,8 +195,13 @@ def main(argv=None) -> int:
             backend_kwargs["iters_per_pass"] = args.iters_per_pass
         if args.unroll:
             backend_kwargs["unroll"] = args.unroll
-    elif args.backend == "monotile" and args.unroll:
-        backend_kwargs["unroll"] = args.unroll
+        if args.shift_impl:
+            backend_kwargs["shift_impl"] = args.shift_impl
+    elif args.backend == "monotile":
+        if args.unroll:
+            backend_kwargs["unroll"] = args.unroll
+        if args.shift_impl:
+            backend_kwargs["shift_impl"] = args.shift_impl
 
     case = CASES[args.app]
     case_kwargs = {}
