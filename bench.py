@@ -222,6 +222,9 @@ def main() -> int:
             ("fdtd_tiling", bench_fdtd,
              dict(n_iterations=131072, backend="tiling",
                   strip_rows=96, iters_per_pass=8, unroll=8)),
+            ("fdtd_monotile", bench_fdtd,
+             dict(n_iterations=131072, backend="monotile", unroll=4,
+                  vmem_budget=200 * 1024 * 1024)),
             ("convection_tiling", bench_convection,
              dict(n_iterations=16384, backend="tiling",
                   strip_rows=128, iters_per_pass=4, unroll=4)),

@@ -71,6 +71,7 @@ def monotile_live_bytes(arrays) -> int:
         "unroll",
         "shift_impl",
         "grid_range",
+        "vmem_budget",
     ),
 )
 def _run_monotile(
@@ -88,6 +89,7 @@ def _run_monotile(
     unroll: int,
     shift_impl: str = "concat",
     grid_range: tuple[int, int] | None = None,
+    vmem_budget: int | None = None,
 ):
     if n_iterations == 0:
         return arrays
@@ -257,7 +259,7 @@ def _run_monotile(
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in grid_ops.values],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                MONOTILE_VMEM_BUDGET + 16 * 1024 * 1024,
+                (vmem_budget or MONOTILE_VMEM_BUDGET) + 16 * 1024 * 1024,
                 max(32 * 1024 * 1024, int(grid_bytes * 6)),
             ),
         ),
@@ -280,6 +282,13 @@ class StencilUpdate(StencilUpdateBase):
       loop (cross-substep CSE; overshoot handled by pass-through).
     * ``interpret`` — force Pallas interpreter mode (defaults to automatic:
       interpreted off-TPU so the backend is testable on the CPU mesh).
+    * ``vmem_budget`` — overrides the residency capacity check AND the
+      Pallas VMEM limit. The default law (~6 grid-sized buffers) is
+      conservative for cells where most fields are loop-INVARIANT (read
+      once, never carried): FDTD's 8-field cell has 4 invariant coefficient
+      planes and measures 106 GCell/s monotile at 1024^2 with a 200 MiB
+      budget (vs 79 tiling), while hotspot at 2048^2 (1 variant field of
+      16 MiB) genuinely exhausts VMEM — override only after measuring.
     """
 
     _can_fallback = True
@@ -291,11 +300,13 @@ class StencilUpdate(StencilUpdateBase):
         unroll: int = 0,
         interpret: bool | None = None,
         shift_impl: str = "concat",
+        vmem_budget: int | None = None,
     ):
         super().__init__(params)
         self.unroll = unroll
         self.interpret = interpret
         self.shift_impl = shift_impl
+        self.vmem_budget = vmem_budget
 
     def _update(self, grid: Grid) -> Grid:
         p = self.params
@@ -309,12 +320,13 @@ class StencilUpdate(StencilUpdateBase):
         # pressure makes the kernel catastrophically slow, so reject early —
         # like the reference's max-dims validation
         # (monotile/StencilUpdate.hpp:200-209).
-        if monotile_live_bytes(grid.arrays) > MONOTILE_VMEM_BUDGET:
+        budget = self.vmem_budget or MONOTILE_VMEM_BUDGET
+        if monotile_live_bytes(grid.arrays) > budget:
             grid_bytes = monotile_live_bytes(grid.arrays) // 6
             raise ValueError(
                 f"grid needs ~{grid_bytes // (1024 * 1024)} MiB of cell data; "
                 f"the monotile backend requires the whole grid resident in "
-                f"VMEM (budget {MONOTILE_VMEM_BUDGET // (1024 * 1024)} MiB). "
+                f"VMEM (budget {budget // (1024 * 1024)} MiB). "
                 f"Use the tiling backend for larger grids."
             )
 
@@ -356,6 +368,7 @@ class StencilUpdate(StencilUpdateBase):
             interpret=interpret,
             unroll=self.unroll,
             shift_impl=self.shift_impl,
+            vmem_budget=self.vmem_budget,
         )
         if (Hs, Ws) != (H, W):
             out = jax.tree.map(lambda a: a[:H, :W], out)
