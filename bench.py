@@ -227,7 +227,7 @@ def main() -> int:
                   vmem_budget=200 * 1024 * 1024)),
             ("convection_tiling", bench_convection,
              dict(n_iterations=16384, backend="tiling",
-                  strip_rows=128, iters_per_pass=4, unroll=4)),
+                  strip_rows=160, iters_per_pass=16, unroll=16)),
         ]
     else:
         cases = [

@@ -333,10 +333,12 @@ class Experiment:
 
 
 #: Measured-peak backend configs on TPU v5e (the analog of the reference's
-#: tuned template parameters, convection.cpp:256-260): 16.2 GCell/s marginal
-#: for the pseudo-transient kernel at the cuda-benchmark scale (3071x1023).
+#: tuned template parameters, convection.cpp:256-260). p=16 at a 256-row
+#: fused window: the app is partially HBM-bound below p~8 (p=2: 8.6,
+#: p=4: 14.1, p=8: 16.1, p=16: 16.4 GCell/s at the cuda-benchmark scale);
+#: non-power-of-two windows lose ~15% (p=12/window 200: 13.8).
 TUNED = {
-    "tiling": dict(strip_rows=128, iters_per_pass=4, unroll=4),
+    "tiling": dict(strip_rows=160, iters_per_pass=16, unroll=16),
 }
 
 

@@ -84,3 +84,27 @@ def test_strip_kernel_stats_extraction():
     assert s["per_pass"]["redundancy"] == 1.25
     assert 0 < s["vpu_utilization"] < 1
     assert 0 < s["hbm_bw_fraction"] < 1
+
+
+def test_pick_config_snaps_to_pow2_windows():
+    """Auto strip selection lands the fused window (strip + 2*halo) on a
+    power of two when the snap keeps >= half the core rows — the measured
+    Mosaic scheduling sweet spot (docs/DESIGN.md round-2 notes)."""
+    import jax.numpy as jnp
+
+    from stencilstream_tpu.backends.tiling import pick_config
+
+    # jacobi-like: r=1, k=1, p=8 -> halo 8; any start near 128 snaps to 112
+    a = jnp.zeros((8192, 8192), jnp.float32)
+    strip, p = pick_config(a, 1, 1, 8192, None, 8)
+    assert p == 8
+    assert (strip + 2 * 8) in (64, 128, 256), strip
+
+    # fdtd-like: k=2, p=8 -> halo 16; window must land on a power of two
+    cell = tuple(jnp.zeros((1024, 1024), jnp.float32) for _ in range(8))
+    strip, p = pick_config(cell, 1, 2, 131072, None, 8)
+    assert (strip + 2 * 16) in (64, 128, 256), strip
+
+    # explicit strip_rows is respected, not snapped
+    strip, _ = pick_config(a, 1, 1, 8192, 100, 8)
+    assert strip == 104  # only rounded to the sublane multiple
