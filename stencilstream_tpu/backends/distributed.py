@@ -13,18 +13,18 @@ lack of an all-to-all fabric; on TPU it is the idiomatic one.
 
 Two local-compute paths, same collective structure:
 
-* ``local_compute="pallas"`` (default, row-sharded 1D mesh): per pass each
-  device extends its full-width local strip block with ``hpm`` rows from its
-  mesh neighbors (:func:`..parallel.exchange_halo_rows`), then runs the SAME
-  optimized Pallas strip kernel the single-chip tiling backend uses
-  (:class:`.strip_pass.StripPass`, ``mode="extended"``) — the analog of the
-  reference's distributed design reusing the single-device work kernel
-  (``monotile/internal/StencilUpdateDesign.hpp:221-348``). Per-chip
-  throughput therefore matches the tiling backend.
-* ``local_compute="xla"`` (2D meshes): two-phase row+column halo exchange,
-  then ``p`` fused iterations with the shrinking-window discipline in plain
-  XLA (:mod:`.fused`). Keeps arbitrary ``(ny, nx)`` meshes available when a
-  2D decomposition is preferred over strip sharding.
+* ``local_compute="pallas"`` (default): per pass each device extends its
+  local block with halo data from its mesh neighbors — rows only on a 1D
+  row mesh (:func:`..parallel.exchange_halo_rows`), rows plus a
+  lane-aligned column halo on 2D meshes (:func:`..parallel.exchange_halo`)
+  — then runs the SAME optimized Pallas strip kernel the single-chip
+  tiling backend uses (:class:`.strip_pass.StripPass`, ``mode="extended"``)
+  — the analog of the reference's distributed design reusing the
+  single-device work kernel (``monotile/internal/StencilUpdateDesign.hpp:221-348``).
+  Per-chip throughput therefore matches the tiling backend.
+* ``local_compute="xla"``: two-phase halo exchange, then ``p`` fused
+  iterations with the shrinking-window discipline in plain XLA
+  (:mod:`.fused`) — the simple semantic cross-check path.
 
 Everything (pass loop included) runs inside one ``jit`` + ``shard_map``, so
 XLA overlaps the ppermute collectives with local compute where profitable.
@@ -111,14 +111,24 @@ def _run_distributed(
 
     m = cell_sublane_multiple(padded)
     hpm = round_up(hp, m)
+    # Column halo for 2D meshes: lane-tile aligned (see spmd_pallas).
+    chm = round_up(hp, 128) if nx > 1 else 0
 
     def spmd_pallas(local, tf, halo_cell, offset, tdv_aux):
-        """Row-sharded fast path: exchange_halo_rows + the tiling strip
-        kernel over the extended local block."""
+        """Pallas local-compute path: collective halo exchange + the SAME
+        tiling strip kernel over each device's extended block. 1D row
+        meshes exchange rows only (full-width strips, zero lane-dim halo);
+        2D meshes additionally carry a lane-aligned column halo
+        (``chm = round_up(halo, 128)`` — wider than strictly needed, but
+        unaligned lane offsets make Mosaic emit catastrophically slow
+        code, and the extra ICI traffic is boundary-proportional)."""
         iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
         base_origin = iy * h - hpm
+        base_col = ix * w - chm
         ext_example = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct((h + 2 * hpm, w), a.dtype), local
+            lambda a: jax.ShapeDtypeStruct((h + 2 * hpm, w + 2 * chm), a.dtype),
+            local,
         )
         sp = StripPass(
             ext_example,
@@ -134,14 +144,21 @@ def _run_distributed(
             grid_range=(H, W),
             mode="extended",
             base_origin=base_origin,
+            col_halo=chm,
+            base_col=base_col,
             unroll=unroll,
             shift_impl=shift_impl,
             interpret=interpret,
         )
 
         def pass_body(i_pass, local):
-            ext = exchange_halo_rows(local, hpm, "y", ny)
-            return sp.run(ext, offset + i_pass * p, offset, base_origin)
+            if chm:
+                ext = exchange_halo(local, (hpm, chm), ("y", "x"), (ny, nx))
+            else:
+                ext = exchange_halo_rows(local, hpm, "y", ny)
+            return sp.run(
+                ext, offset + i_pass * p, offset, base_origin, base_col
+            )
 
         return lax.fori_loop(0, n_passes, pass_body, local)
 
@@ -201,8 +218,8 @@ class StencilUpdate(StencilUpdateBase):
     * ``iters_per_pass`` — temporal parallelism p: iterations fused between
       halo exchanges; the halo width is ``r * p * n_subiterations`` per side
       (communication/redundant-compute tradeoff, SURVEY.md §2.7.5).
-    * ``local_compute`` — ``"pallas"`` (1D mesh only) or ``"xla"``; default
-      auto: pallas when ``nx == 1``, else xla.
+    * ``local_compute`` — ``"pallas"`` (default, any mesh shape) or
+      ``"xla"`` (the plain-XLA cross-check path).
     * ``strip_rows`` / ``unroll`` / ``shift_impl`` / ``interpret`` — Pallas
       strip-kernel knobs, as in the tiling backend.
     """
@@ -228,13 +245,7 @@ class StencilUpdate(StencilUpdateBase):
         self.mesh = mesh
         ny, nx = mesh.devices.shape
         if local_compute is None:
-            local_compute = "pallas" if nx == 1 else "xla"
-        if local_compute == "pallas" and nx != 1:
-            raise ValueError(
-                "local_compute='pallas' requires a row-sharded (n, 1) mesh; "
-                f"got mesh shape {(ny, nx)}. Use local_compute='xla' for 2D "
-                "meshes."
-            )
+            local_compute = "pallas"
         self.local_compute = local_compute
         self.iters_per_pass = iters_per_pass
         self.strip_rows = strip_rows
@@ -263,7 +274,10 @@ class StencilUpdate(StencilUpdateBase):
         if self.local_compute == "pallas":
             min_local = max(hpm, m)
             Hp = round_up(max(H, ny * min_local), ny * m)
-            Wp = round_up(W, 128)
+            # 2D meshes: each device's local width must be lane-aligned and
+            # at least one column-halo wide (single-hop neighbor exchange).
+            chm = round_up(hp, 128) if nx > 1 else 0
+            Wp = round_up(max(W, nx * max(chm, 128)), nx * 128)
         else:
             min_local = max(hp, 8)
             Hp = round_up(max(H, ny * min_local), ny)

@@ -97,6 +97,8 @@ class StripPass:
         grid_range: tuple[int, int],
         mode: str = "clamped",
         base_origin=0,
+        col_halo: int = 0,
+        base_col=0,
         unroll: int = 1,
         shift_impl: str = "concat",
         licm: bool = False,
@@ -112,6 +114,14 @@ class StripPass:
         self.interpret = interpret
         self.hpm = hpm
         self.m = m
+        # Stored column halo (2D-mesh extended mode): the input block carries
+        # ``col_halo`` lane-aligned columns per side from the mesh neighbors;
+        # the output drops them. Zero for clamped mode and 1D row sharding
+        # (full-width strips — the lane dim never needs a halo there).
+        assert col_halo == 0 or mode == "extended", "col_halo is extended-only"
+        chm = col_halo
+        Wc = Ws - 2 * chm
+        self.chm, self.Wc = chm, Wc
 
         if mode == "clamped":
             T = max(strip_rows, hpm)
@@ -155,13 +165,15 @@ class StripPass:
 
         offset0 = jnp.asarray(0, jnp.int32)
 
-        def step_fn(window, tf, halo_cell, origin_row, oog_mask, i_abs, active, tdv):
+        def step_fn(
+            window, tf, halo_cell, origin_row, origin_col, oog_mask, i_abs, active, tdv
+        ):
             out, _, _ = fused_substep(
                 window,
                 tf,
                 halo_cell,
                 origin_row,
-                jnp.asarray(0, jnp.int32),
+                origin_col,
                 (H, W),
                 i_abs,
                 tdv,
@@ -194,6 +206,7 @@ class StripPass:
                 tf,
                 halo_cell,
                 i0,
+                i0,
                 example_mask,
                 i0,
                 jnp.asarray(True),
@@ -210,12 +223,12 @@ class StripPass:
         self.licm = licm
         if licm:
             _parts = (
-                example_window, tf, halo_cell, i0, example_mask, i0,
+                example_window, tf, halo_cell, i0, i0, example_mask, i0,
                 jnp.asarray(True), ktdv.example,
             )
             _sizes = [len(jax.tree.leaves(x)) for x in _parts]
             _starts = [sum(_sizes[:j]) for j in range(len(_sizes))]
-            _vary_parts = (0, 5, 6, 7)  # window, i_abs, active, tdv
+            _vary_parts = (0, 6, 7, 8)  # window, i_abs, active, tdv
             varying_positions = [
                 pos
                 for j in _vary_parts
@@ -226,7 +239,12 @@ class StripPass:
 
         tf_ops = Operands(tf, vectors_as_refs=False)
         halo_ops = Operands(halo_cell)
-        scal_example = (i0, offset0, jnp.asarray(base_origin, jnp.int32))
+        scal_example = (
+            i0,
+            offset0,
+            jnp.asarray(base_origin, jnp.int32),
+            jnp.asarray(base_col, jnp.int32),
+        )
         scal_ops = Operands(scal_example)
         const_ops = Operands(hoisted_step.consts, vectors_as_refs=False)
         groups = (scal_ops, tf_ops, halo_ops, const_ops)
@@ -281,7 +299,7 @@ class StripPass:
             parts = [[next(it) for _ in range(c)] for c in counts]
             win_refs = [next(it) for _ in range(n_fields)]
             out_refs = list(it)
-            i_start_v, offset_v, base_origin_v = scal_ops.decode(parts[0])
+            i_start_v, offset_v, base_origin_v, base_col_v = scal_ops.decode(parts[0])
             tf_v = tf_ops.decode(parts[1])
             halo_v = halo_ops.decode(parts[2])
             consts_v = const_ops.decode(parts[3])
@@ -305,9 +323,14 @@ class StripPass:
                 oog = wrow >= H
                 if mode == "extended":
                     oog = oog | (wrow < 0)
-                if W != Ws:
-                    wcol = lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
+                if W != Ws or chm:
+                    wcol = (
+                        lax.broadcasted_iota(jnp.int32, (win_rows, Ws), 1)
+                        + base_col_v
+                    )
                     oog = oog | (wcol >= W)
+                    if mode == "extended":
+                        oog = oog | (wcol < 0)
                 # int8 at the loop-body boundary: Mosaic miscompiles bool
                 # values crossing fori scopes.
                 oog8 = oog.astype(jnp.int8)
@@ -346,6 +369,7 @@ class StripPass:
                     tf_v,
                     halo_v,
                     origin_row,
+                    base_col_v,
                     None if aligned else oog8.astype(jnp.bool_),
                     jnp.asarray(0, jnp.int32),
                     jnp.asarray(True),
@@ -379,6 +403,7 @@ class StripPass:
                     tf_v,
                     halo_v,
                     origin_row,
+                    base_col_v,
                     None if aligned else oog8.astype(jnp.bool_),
                     jnp.asarray(i_abs, jnp.int32),
                     i_abs < offset_v + n_iterations,
@@ -417,7 +442,7 @@ class StripPass:
             # (windows never clamp).
             def pick_core(a):
                 if mode == "extended":
-                    return lax.slice(a, (hpm, 0), (hpm + T, Ws))
+                    return lax.slice(a, (hpm, chm), (hpm + T, chm + Wc))
                 base = lax.slice(a, (hpm, 0), (hpm + T, Ws))
                 for idx, off in core_specials:
                     base = jnp.where(
@@ -446,7 +471,7 @@ class StripPass:
             )
         else:
             self._out_spec = pl.BlockSpec(
-                (T, Ws), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (T, Wc), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
         self._n_fields = n_fields
         self._Ws = Ws
@@ -455,12 +480,12 @@ class StripPass:
         window_bytes = win_rows * cell_row_bytes(arrays)
         self._vmem_limit = min(int(window_bytes * 8) + (1 << 25), 120 * (1 << 20))
 
-    def run(self, arrays, i_start, offset, base_origin=0):
+    def run(self, arrays, i_start, offset, base_origin=0, base_col=0):
         """One pass of ``iters_per_pass`` fused iterations.
 
         ``arrays``: input block (store-encoded dtypes handled internally).
         Returns the output block: clamped mode — same shape as the input;
-        extended mode — the core rows only (stored halo stripped).
+        extended mode — the core rows/cols only (stored halo stripped).
         """
         scal_ops, tf_ops, halo_ops, const_ops = self._groups
         scal_vals = Operands(
@@ -468,6 +493,7 @@ class StripPass:
                 jnp.asarray(i_start, jnp.int32),
                 jnp.asarray(offset, jnp.int32),
                 jnp.asarray(base_origin, jnp.int32),
+                jnp.asarray(base_col, jnp.int32),
             )
         ).values
         in_leaves = jax.tree.leaves(arrays)
@@ -486,7 +512,7 @@ class StripPass:
             ),
             out_specs=[self._out_spec] * len(vpos),
             out_shape=[
-                jax.ShapeDtypeStruct((self.out_rows, self._Ws), stored[j].dtype)
+                jax.ShapeDtypeStruct((self.out_rows, self.Wc), stored[j].dtype)
                 for j in vpos
             ],
             compiler_params=pltpu.CompilerParams(
@@ -510,7 +536,9 @@ class StripPass:
             if self.invariant[j]:
                 if self.mode == "extended":
                     a = lax.slice(
-                        a, (self.hpm, 0), (self.hpm + self.out_rows, self._Ws)
+                        a,
+                        (self.hpm, self.chm),
+                        (self.hpm + self.out_rows, self.chm + self.Wc),
                     )
                 leaves.append(a)
             else:

@@ -111,27 +111,30 @@ def exchange_halo_rows(
 
 def exchange_halo(
     local: Any,
-    halo: int,
+    halo: int | tuple[int, int],
     axis_names: Sequence[str] = ("y", "x"),
     axis_sizes: Sequence[int] | None = None,
 ) -> Any:
-    """Extend a local block with ``halo`` rows/columns from mesh neighbors.
+    """Extend a local block with halo rows/columns from mesh neighbors.
 
     Input: cell pytree of ``(h, w)`` leaves (inside ``shard_map``). Output:
-    ``(h + 2*halo, w + 2*halo)`` leaves. Corner data arrives for free by
-    exchanging columns *after* rows are extended (two-phase exchange).
-    Mesh-edge positions receive zeros — callers mask them against the grid
-    bounds (the fused-pass out-of-grid re-mask), which is the analog of the
+    ``(h + 2*halo_rows, w + 2*halo_cols)`` leaves — ``halo`` may be one int
+    for both axes or a ``(rows, cols)`` pair (the Pallas local path uses a
+    lane-aligned column halo). Corner data arrives for free by exchanging
+    columns *after* rows are extended (two-phase exchange). Mesh-edge
+    positions receive zeros — callers mask them against the grid bounds
+    (the fused-pass out-of-grid re-mask), which is the analog of the
     reference's coordinate-based halo substitution
     (``tiling/internal/HaloTiledInputKernel.hpp:66-107``).
     """
     ay, ax = axis_names
     ny = axis_sizes[0] if axis_sizes else lax.axis_size(ay)
     nx = axis_sizes[1] if axis_sizes else lax.axis_size(ax)
+    halo_r, halo_c = halo if isinstance(halo, tuple) else (halo, halo)
 
     def rows(a):
-        top = lax.slice_in_dim(a, a.shape[0] - halo, a.shape[0], axis=0)
-        bot = lax.slice_in_dim(a, 0, halo, axis=0)
+        top = lax.slice_in_dim(a, a.shape[0] - halo_r, a.shape[0], axis=0)
+        bot = lax.slice_in_dim(a, 0, halo_r, axis=0)
         return top, bot
 
     tops, bots = zip(*[rows(a) for a in jax.tree.leaves(local)])
@@ -143,8 +146,8 @@ def exchange_halo(
     )
 
     def cols(a):
-        left = lax.slice_in_dim(a, a.shape[1] - halo, a.shape[1], axis=1)
-        right = lax.slice_in_dim(a, 0, halo, axis=1)
+        left = lax.slice_in_dim(a, a.shape[1] - halo_c, a.shape[1], axis=1)
+        right = lax.slice_in_dim(a, 0, halo_c, axis=1)
         return left, right
 
     lefts, rights = zip(*[cols(a) for a in jax.tree.leaves(ext)])

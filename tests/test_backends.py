@@ -226,3 +226,45 @@ def test_handles_boundary_parity(backend, kw):
     a = ref(grid).to_numpy()
     b = up(grid).to_numpy()
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)], ids=str)
+def test_distributed_2d_pallas_probe(mesh_shape):
+    """The Pallas local-compute path on a 2D mesh (row + lane-aligned
+    column halo exchange): the probe contract must hold across both mesh
+    axes, including a partial final pass and an iteration offset."""
+    from stencilstream_tpu.parallel import make_mesh
+
+    up = create_update(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            iteration_offset=1,
+            n_iterations=3,
+        ),
+        backend="distributed",
+        mesh=make_mesh(shape=mesh_shape),
+        iters_per_pass=2,
+        local_compute="pallas",
+    )
+    up.fallback_to_reference = False
+    out = up(make_probe_grid(13, 21, iteration_offset=1))
+    check_probe_grid(out, 4)
+
+
+def test_distributed_2d_pallas_jacobi_parity():
+    coefs = [0.15, 0.2, 0.25, 0.1, 0.3]
+    kernel = jacobi.make_kernel("jacobi5_general", coefs)
+    grid = jacobi.init_grid(40, 152)
+    from stencilstream_tpu.parallel import make_mesh
+
+    up = create_update(
+        Params(transition_function=kernel, n_iterations=5, blocking=True),
+        backend="distributed",
+        mesh=make_mesh(shape=(2, 4)),
+        iters_per_pass=2,
+        local_compute="pallas",
+    )
+    up.fallback_to_reference = False
+    out = up(grid).to_numpy()
+    np.testing.assert_allclose(out, jacobi_oracle(grid.to_numpy(), coefs, 5), rtol=1e-5)
