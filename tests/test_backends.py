@@ -268,3 +268,39 @@ def test_distributed_2d_pallas_jacobi_parity():
     up.fallback_to_reference = False
     out = up(grid).to_numpy()
     np.testing.assert_allclose(out, jacobi_oracle(grid.to_numpy(), coefs, 5), rtol=1e-5)
+
+
+@pytest.mark.parametrize("backend,kw", [
+    ("tiling", dict(strip_rows=16, iters_per_pass=3, licm=True)),
+], ids=["tiling-licm"])
+def test_licm_bit_exact(backend, kw):
+    """Opt-in LICM (invariant step eqns hoisted out of the iteration loop)
+    must not change results: bit-exact vs the oracle for an id-reading,
+    mask-heavy kernel (the hoisting target) and for plain jacobi."""
+    kernel = _SelfClampingKernel()
+    rng = np.random.default_rng(6)
+    grid = Grid.from_numpy(rng.random((44, 29), np.float32))
+    ref = create_update(
+        Params(transition_function=kernel, n_iterations=7, blocking=True),
+        backend="reference",
+    )
+    up = create_update(
+        Params(transition_function=kernel, n_iterations=7, blocking=True),
+        backend=backend,
+        **kw,
+    )
+    up.fallback_to_reference = False
+    np.testing.assert_array_equal(ref(grid).to_numpy(), up(grid).to_numpy())
+
+    coefs = [0.15, 0.2, 0.25, 0.1, 0.3]
+    jk = jacobi.make_kernel("jacobi5_general", coefs)
+    g2 = jacobi.init_grid(40, 28)
+    up2 = create_update(
+        Params(transition_function=jk, n_iterations=5, blocking=True),
+        backend=backend,
+        **kw,
+    )
+    up2.fallback_to_reference = False
+    np.testing.assert_allclose(
+        up2(g2).to_numpy(), jacobi_oracle(g2.to_numpy(), coefs, 5), rtol=1e-5
+    )
