@@ -53,6 +53,15 @@ from .strip_pass import StripPass, cell_sublane_multiple
 __all__ = ["StencilUpdate"]
 
 
+def _col_halo_width(hp: int, nx: int) -> int:
+    """Stored column halo per side for the Pallas local path: zero on 1D
+    row meshes (full-width strips), lane-tile aligned on 2D meshes
+    (unaligned lane offsets are a Mosaic performance cliff). Single source
+    of truth for the padding in ``_update`` and the kernel geometry in
+    ``_run_distributed``."""
+    return round_up(hp, 128) if nx > 1 else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -111,8 +120,7 @@ def _run_distributed(
 
     m = cell_sublane_multiple(padded)
     hpm = round_up(hp, m)
-    # Column halo for 2D meshes: lane-tile aligned (see spmd_pallas).
-    chm = round_up(hp, 128) if nx > 1 else 0
+    chm = _col_halo_width(hp, nx)
 
     def spmd_pallas(local, tf, halo_cell, offset, tdv_aux):
         """Pallas local-compute path: collective halo exchange + the SAME
@@ -212,9 +220,9 @@ class StencilUpdate(StencilUpdateBase):
     Extra keyword options:
 
     * ``mesh`` — a :class:`jax.sharding.Mesh` with axes ``("y", "x")``.
-      Default: all visible devices as a 1D row mesh ``(n, 1)`` so the local
-      compute runs the optimized Pallas strip kernel. 2D meshes are
-      supported and select the XLA local path.
+      Default: all visible devices as a 1D row mesh ``(n, 1)``. Any mesh
+      shape runs the optimized Pallas strip kernel locally (2D meshes add
+      a lane-aligned column halo to the exchange).
     * ``iters_per_pass`` — temporal parallelism p: iterations fused between
       halo exchanges; the halo width is ``r * p * n_subiterations`` per side
       (communication/redundant-compute tradeoff, SURVEY.md §2.7.5).
@@ -276,7 +284,7 @@ class StencilUpdate(StencilUpdateBase):
             Hp = round_up(max(H, ny * min_local), ny * m)
             # 2D meshes: each device's local width must be lane-aligned and
             # at least one column-halo wide (single-hop neighbor exchange).
-            chm = round_up(hp, 128) if nx > 1 else 0
+            chm = _col_halo_width(hp, nx)
             Wp = round_up(max(W, nx * max(chm, 128)), nx * 128)
         else:
             min_local = max(hp, 8)

@@ -139,9 +139,20 @@ class StripPass:
             core = Hs - 2 * hpm
             T = min(strip_rows, core)
             # extended windows index at i*T: T must divide the core rows.
-            while core % T:
-                T -= m
-            T = max(T, m)
+            # Prefer the divisor CLOSEST to the requested strip — downward
+            # search alone can collapse a tuned strip badly (e.g. 112 over a
+            # 4096-row core degrades to 64 when 128 is available).
+            T_down = T
+            while core % T_down:
+                T_down -= m
+            T_down = max(T_down, m)
+            T_up = T
+            while T_up <= min(core, 2 * T) and core % T_up:
+                T_up += m
+            if core % T_up == 0 and (T_up - T) < (T - T_down):
+                T = T_up
+            else:
+                T = T_down
             assert core % T == 0, (core, T)
             win_rows = T + 2 * hpm
             n_strips = core // T

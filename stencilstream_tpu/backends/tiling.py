@@ -73,8 +73,11 @@ def pick_config(
     H, _ = jax.tree.leaves(arrays)[0].shape
     m = cell_sublane_multiple(arrays)
     row_bytes = cell_row_bytes(arrays)
+    auto_strip = strip_rows is None
+    auto_p = iters_per_pass is None
+    rk = radius * n_subiterations
 
-    if strip_rows is None:
+    if auto_strip:
         # The kernel's VMEM working set is ~16 window-sized buffers (2+2
         # pipeline buffers plus Mosaic-materialized sub-step temporaries —
         # observed empirically from vmem OOM reports). Size the window to
@@ -83,24 +86,38 @@ def pick_config(
         strip_rows = max(m, (target_win * 2 // 3 // m) * m)  # ~1/3 halo margin
     strip_rows = min(round_up(strip_rows, m), round_up(H, m))
 
-    if iters_per_pass is None:
+    if auto_p:
         # Halo overhead 2*r*p*k <= strip_rows/2  =>  ~33% redundant rows.
-        iters_per_pass = max(1, strip_rows // (4 * radius * n_subiterations))
+        iters_per_pass = max(1, strip_rows // (4 * rk))
     if n_iterations:
         iters_per_pass = min(iters_per_pass, n_iterations)
 
-    if strip_rows is not None and iters_per_pass:
+    if auto_strip and iters_per_pass:
         # Power-of-two fused windows schedule measurably better on Mosaic
         # (hotspot 64->112: +6.5%, fdtd 64->96: +5%, jacobi 128->112: +3%
         # at a 128-row window; all round-2 same-process A/Bs). Snap the
-        # auto-chosen strip DOWN so strip + 2*halo lands on the nearest
+        # AUTO-chosen strip DOWN so strip + 2*halo lands on the nearest
         # power of two when the adjustment keeps >= half the core rows.
-        hpm = round_up(radius * iters_per_pass * n_subiterations, m)
+        # Explicitly-requested strips are never touched.
+        hpm = round_up(rk * iters_per_pass, m)
         win = strip_rows + 2 * hpm
         pow2 = 1 << (win.bit_length() - 1)
         snapped = pow2 - 2 * hpm
         if snapped >= max(m, strip_rows // 2) and snapped % m == 0:
             strip_rows = min(snapped, round_up(H, m))
+            if auto_p:
+                # Re-derive p from the snapped strip (the pre-snap p could
+                # leave the halo as large as the core — 50% redundancy);
+                # keep the window on the power of two with the new halo.
+                iters_per_pass = max(
+                    1, min(iters_per_pass, strip_rows // (4 * rk))
+                )
+                if n_iterations:
+                    iters_per_pass = min(iters_per_pass, n_iterations)
+                hpm2 = round_up(rk * iters_per_pass, m)
+                resnap = pow2 - 2 * hpm2
+                if hpm2 != hpm and resnap >= m and resnap % m == 0:
+                    strip_rows = min(resnap, round_up(H, m))
     return strip_rows, iters_per_pass
 
 
@@ -157,11 +174,17 @@ def _run_tiling(
     # per-strip values computed at build time).
     T = max(strip_rows, hpm)
     win_rows = T + 2 * hpm
-    # Carry rows: sublane-aligned and >= one full window. NOT padded to a
-    # strip multiple — output blocks clamp instead — so grids whose height
-    # is already sublane-aligned keep Hs == H and take the mask-free
-    # ``aligned`` kernel regardless of the strip size chosen.
-    Hs = round_up(max(H, win_rows), m)
+    # Carry rows. Clamped mode: sublane-aligned and >= one full window —
+    # NOT padded to a strip multiple (output blocks clamp instead), so
+    # grids whose height is already sublane-aligned keep Hs == H and take
+    # the mask-free ``aligned`` kernel regardless of the strip size chosen.
+    # Extended mode: padded to a strip MULTIPLE — its windows index at i*T
+    # and never clamp, and StripPass would otherwise shrink T until it
+    # divides the core (collapsing the tuned window size).
+    if window_mode == "extended":
+        Hs = round_up(max(H, win_rows), T)
+    else:
+        Hs = round_up(max(H, win_rows), m)
     n_passes = -(-n_iterations // p)
     offset = jnp.asarray(offset, jnp.int32)
 

@@ -94,7 +94,8 @@ def test_pick_config_snaps_to_pow2_windows():
 
     from stencilstream_tpu.backends.tiling import pick_config
 
-    # jacobi-like: r=1, k=1, p=8 -> halo 8; any start near 128 snaps to 112
+    # jacobi-like: r=1, k=1, p=8 -> halo 8; the auto strip snaps so the
+    # window is a power of two
     a = jnp.zeros((8192, 8192), jnp.float32)
     strip, p = pick_config(a, 1, 1, 8192, None, 8)
     assert p == 8
@@ -105,6 +106,18 @@ def test_pick_config_snaps_to_pow2_windows():
     strip, p = pick_config(cell, 1, 2, 131072, None, 8)
     assert (strip + 2 * 16) in (64, 128, 256), strip
 
-    # explicit strip_rows is respected, not snapped
+    # fully-auto: p is RE-derived after the snap so the halo overhead stays
+    # near the documented ~33% target (never 50%)
+    strip, p = pick_config(a, 1, 1, 8192, None, None)
+    hpm = max(8, -(-p // 8) * 8)
+    assert 2 * hpm <= strip, (strip, p)
+    assert (strip + 2 * hpm) in (64, 128, 256), (strip, p)
+
+    # explicit strip_rows is respected: only rounded to the sublane
+    # multiple, NEVER snapped (A/B sweeps must measure what they asked for)
     strip, _ = pick_config(a, 1, 1, 8192, 100, 8)
-    assert strip == 104  # only rounded to the sublane multiple
+    assert strip == 104
+    strip, _ = pick_config(a, 1, 1, 8192, 64, 8)
+    assert strip == 64
+    strip, _ = pick_config(a, 1, 1, 8192, 128, 8)
+    assert strip == 128
