@@ -214,7 +214,8 @@ def main() -> int:
              dict(size=8192, n_iterations=8192, backend="tiling",
                   strip_rows=112, iters_per_pass=8, unroll=8)),
             ("jacobi_monotile", bench_jacobi,
-             dict(size=2048, n_iterations=131072, backend="monotile")),
+             dict(size=2048, n_iterations=131072, backend="monotile",
+                  unroll=8)),
             ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=8192, backend="tiling",
                   strip_rows=112, iters_per_pass=8, unroll=8,
