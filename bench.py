@@ -212,13 +212,13 @@ def main() -> int:
              dict(size=1024, n_iterations=131072, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
              dict(size=8192, n_iterations=8192, backend="tiling",
-                  strip_rows=112, iters_per_pass=8, unroll=8)),
+                  strip_rows=224, iters_per_pass=16, unroll=16)),
             ("jacobi_monotile", bench_jacobi,
              dict(size=2048, n_iterations=131072, backend="monotile",
                   unroll=8)),
             ("jacobi_tiling", bench_jacobi,
              dict(size=8192, n_iterations=8192, backend="tiling",
-                  strip_rows=112, iters_per_pass=8, unroll=8,
+                  strip_rows=224, iters_per_pass=16, unroll=16,
                   shift_impl="roll")),
             ("fdtd_tiling", bench_fdtd,
              dict(n_iterations=131072, backend="tiling",

@@ -49,15 +49,12 @@ FLOPS_PER_CELL = 15
 
 #: Measured-peak backend configs on TPU v5e — the analog of the reference's
 #: per-backend tuned tables (hotspot.cpp:99-139). Applied by :func:`run`
-#: when the caller passes no explicit backend kwargs. Round-2 sweeps
-#: (experiments/marginal_backend.py): monotile 1280^2 peaks at unroll=8;
-#: tiling 8192^2 peaks at strip 112 x p 8 fully unrolled — the halo makes
-#: the fused window exactly 128 rows, same power-of-two-window effect as
-#: jacobi (+6.5% vs strip 64, same-process A/B). Reachable since the
-#: clamped-output StripPass no longer pads the carry to a strip multiple.
+#: when the caller passes no explicit backend kwargs.
 TUNED = {
     "monotile": dict(unroll=8),
-    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8),
+    # p=16 at a 256-row window: 125 -> 142 GCell/s at 8192^2 (half the HBM
+    # round trips per iteration at the same 1.14 redundancy; see jacobi).
+    "tiling": dict(strip_rows=224, iters_per_pass=16, unroll=16),
 }
 
 

@@ -233,7 +233,11 @@ def init_grid(height: int, width: int) -> Grid:
 #: accumulation chain is center-first (166.9 vs 159.6 GCell/s marginal at
 #: 8192^2, experiments/micro_order.py + marginal_backend.py).
 TUNED = {
-    "tiling": dict(strip_rows=112, iters_per_pass=8, unroll=8, shift_impl="roll"),
+    # p=16 at a 256-row window (same 1.14 redundancy as 112/8's 128-row
+    # window, HALF the HBM round trips per iteration): 153.8 -> 169.7
+    # GCell/s at 8192^2 — the strip path's residual cost is imperfect
+    # DMA/compute overlap, so deeper temporal blocking pays directly.
+    "tiling": dict(strip_rows=224, iters_per_pass=16, unroll=16, shift_impl="roll"),
     # unroll=8 in the VMEM-resident loop: 186 -> 223 GCell/s at 2048^2
     # (the center-first chain composes with cross-step scheduling slack).
     "monotile": dict(unroll=8),
