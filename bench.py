@@ -204,20 +204,20 @@ def main() -> int:
     if on_tpu:
         # Tuned configs (measured on v5e, experiments/ sweeps). Large
         # n_iterations amortizes the fixed per-call dispatch/fetch cost of
-        # the tunneled runtime; 8192^2 cases use n=4096 (walltime 2-4 s,
-        # overhead < 5%), comparable in spirit to the reference protocol of
-        # 2000*p iterations at peak grid (hotspot/scripts/benchmark.jl).
+        # the tunneled runtime; the 8192^2 tiling cases run n=32768 =
+        # 2048*p at p=16 — the reference protocol is 2000*p iterations at
+        # peak grid (hotspot/scripts/benchmark.jl:92-100).
         cases = [
             ("hotspot_monotile", bench_hotspot,
              dict(size=1024, n_iterations=131072, backend="monotile", unroll=8)),
             ("hotspot_tiling", bench_hotspot,
-             dict(size=8192, n_iterations=8192, backend="tiling",
+             dict(size=8192, n_iterations=32768, backend="tiling",
                   strip_rows=224, iters_per_pass=16, unroll=16)),
             ("jacobi_monotile", bench_jacobi,
              dict(size=2048, n_iterations=131072, backend="monotile",
                   unroll=8)),
             ("jacobi_tiling", bench_jacobi,
-             dict(size=8192, n_iterations=8192, backend="tiling",
+             dict(size=8192, n_iterations=32768, backend="tiling",
                   strip_rows=224, iters_per_pass=16, unroll=16,
                   shift_impl="roll")),
             ("fdtd_tiling", bench_fdtd,

@@ -526,8 +526,15 @@ class StripPass:
                 jax.ShapeDtypeStruct((self.out_rows, self.Wc), stored[j].dtype)
                 for j in vpos
             ],
+            # Strips within a pass are independent: inputs are read-only
+            # overlapping windows of the pass INPUT, and the only possible
+            # output overlap (the clamped last strip) writes values
+            # identical to its predecessor's, so any execution order is
+            # equivalent. "parallel" lets Mosaic schedule the strip DMAs
+            # more aggressively (+1% measured on jacobi 8192^2).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=self._vmem_limit,
+                dimension_semantics=("parallel",),
             ),
             interpret=self.interpret,
         )(
