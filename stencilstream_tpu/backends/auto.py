@@ -5,7 +5,9 @@ The reference selects its backend at build time (CMake macro matrices,
 runtime (``monotile/StencilUpdate.hpp:200-209``). The TPU-native analog is a
 runtime dispatch on the first grid seen:
 
-* more than one visible device -> ``distributed`` (mesh + halo exchange);
+* more than one visible device AND the grid is large enough that the
+  per-device collective halo padding doesn't dominate -> ``distributed``
+  (mesh + halo exchange);
 * grid fits the monotile VMEM residency budget -> ``monotile`` (zero
   redundant compute, the flagship);
 * otherwise -> ``tiling`` (strip temporal blocking, any size).
@@ -31,11 +33,19 @@ def choose_backend(grid: Grid, n_devices: int | None = None) -> str:
     """Resolve the backend name for a grid (see module docstring)."""
     if n_devices is None:
         n_devices = len(jax.devices())
-    if n_devices > 1:
-        return "distributed"
     from .monotile import MONOTILE_VMEM_BUDGET, monotile_live_bytes
 
-    if monotile_live_bytes(grid.arrays) <= MONOTILE_VMEM_BUDGET:
+    fits_monotile = monotile_live_bytes(grid.arrays) <= MONOTILE_VMEM_BUDGET
+    if n_devices > 1:
+        # Small-grid guard: sharding a toy grid over a mesh makes the
+        # collective row padding (Hp >= ny * max(hpm, m)) dwarf the problem
+        # (a conway 12x12 on a pod should not ride ppermute). Route grids
+        # whose per-device share is below one VMEM-ish block to a
+        # single-device backend instead.
+        per_device_rows = grid.height / n_devices
+        if per_device_rows >= 64 or not fits_monotile:
+            return "distributed"
+    if fits_monotile:
         return "monotile"
     return "tiling"
 

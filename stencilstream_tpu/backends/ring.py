@@ -23,11 +23,16 @@ Pipeline schedule (SPMD, one ``fori_loop`` over ticks):
   into the lap result, which a ``psum`` re-replicates (rank-0-writes-memory,
   ``StencilUpdateDesign.hpp:328-335``).
 
-Each per-device chunk update is a fused ``p * n_subiterations``-step window
-pass (:mod:`.fused`) with shrinking rows and the full grid width — identical
-single-device semantics to the tiling backend, so partial laps
-(``n % (N*p) != 0``) pass through unchanged cells exactly like the
-reference's partial-pass PEs (:250-256).
+Each per-device chunk update runs the SAME optimized Pallas strip kernel as
+the tiling/distributed backends (:class:`.strip_pass.StripPass`,
+``mode="extended"`` over the chunk window, ``local_compute="pallas"``,
+default) or a fused shrinking-window pass in plain XLA
+(``local_compute="xla"``, the semantic cross-check path) — so ring chunks
+compute at tiling-backend speed, the analog of the reference's multi-FPGA
+design reusing the single-device work kernel
+(``StencilUpdateDesign.hpp:221-348``). Partial laps (``n % (N*p) != 0``)
+pass cells through unchanged exactly like the reference's partial-pass PEs
+(:250-256).
 
 This backend pays ring-circulation traffic (the whole grid crosses every
 hop each lap) in exchange for multiplying temporal depth by N — the same
@@ -50,7 +55,8 @@ from ..parallel import make_mesh
 from ..tdv import PrecomputeOnDeviceTDV
 from .base import StencilUpdateBase, resolve_halo
 from .fused import fused_window_pass, halo_width
-from .pallas_util import round_up
+from .pallas_util import round_up, should_interpret
+from .strip_pass import StripPass, cell_sublane_multiple
 
 __all__ = ["StencilUpdate"]
 
@@ -66,6 +72,11 @@ __all__ = ["StencilUpdate"]
         "chunk_rows",
         "mesh",
         "grid_range",
+        "local_compute",
+        "strip_rows",
+        "unroll",
+        "shift_impl",
+        "interpret",
     ),
 )
 def _run_ring(
@@ -83,6 +94,11 @@ def _run_ring(
     chunk_rows: int,
     mesh: Mesh,
     grid_range: tuple[int, int],
+    local_compute: str = "pallas",
+    strip_rows: int | None = None,
+    unroll: int = 1,
+    shift_impl: str = "concat",
+    interpret: bool = False,
 ):
     if n_iterations == 0:
         return arrays
@@ -93,6 +109,10 @@ def _run_ring(
     H, W = grid_range
     r, k, p, ch = radius, n_subiterations, iters_per_pass, chunk_rows
     hp = halo_width(r, p, k)
+    # Pallas chunk windows carry a sublane-aligned stored halo (element
+    # window offsets must stay aligned); the XLA path shrinks by exactly hp.
+    m = cell_sublane_multiple(arrays)
+    look = round_up(hp, m) if local_compute == "pallas" else hp
     n_dev = mesh.devices.size
     n_chunks = -(-H // ch)
     Hp = n_chunks * ch
@@ -129,6 +149,35 @@ def _run_ring(
     def spmd(g, tf, halo_cell, offset, tdv_aux):
         d = lax.axis_index("ring")
 
+        if local_compute == "pallas":
+            # The SAME strip kernel as tiling/distributed, in extended mode
+            # over each chunk window (core = chunk, stored halo = look per
+            # side). force_partial: a device's whole pass may fall past the
+            # target on the last lap even when p divides n.
+            ext_example = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct((ch + 2 * look, a.shape[1]), a.dtype),
+                arrays,
+            )
+            sp = StripPass(
+                ext_example,
+                tf,
+                halo_cell,
+                strategy,
+                tdv_aux,
+                radius=r,
+                n_subiterations=k,
+                n_iterations=n_iterations,
+                iters_per_pass=p,
+                strip_rows=strip_rows if strip_rows is not None else ch,
+                grid_range=(H, W),
+                mode="extended",
+                base_origin=jnp.asarray(-look, jnp.int32),
+                unroll=unroll,
+                shift_impl=shift_impl,
+                interpret=interpret,
+                force_partial=True,
+            )
+
         def lap_body(lap, g):
             i_start_dev = offset + lap * lap_iters + d * p
 
@@ -149,7 +198,7 @@ def _run_ring(
                 # Compute chunk j with window = tail | cur | head(recv).
                 j = tick - 1 - 2 * d
                 window = jax.tree.map(
-                    lambda t, c, n: jnp.concatenate([t, c, n[:hp]], axis=0),
+                    lambda t, c, n: jnp.concatenate([t, c, n[:look]], axis=0),
                     tail,
                     cur,
                     recv,
@@ -161,22 +210,27 @@ def _run_ring(
                     window,
                     arrays,
                 )
-                origin_row = j * ch - hp
-                out_chunk = fused_window_pass(
-                    window,
-                    tf,
-                    halo_cell,
-                    origin=(origin_row, 0),
-                    grid_range=(H, W),
-                    i_start=i_start_dev,
-                    i_target=i_target,
-                    tdv_lookup=tdv_lookup,
-                    radius=r,
-                    n_subiterations=k,
-                    n_steps=p,
-                    row_mode="shrink",
-                    col_mode="pad",
-                )
+                origin_row = j * ch - look
+                if local_compute == "pallas":
+                    out_chunk = sp.run(
+                        window, i_start_dev, offset, origin_row
+                    )
+                else:
+                    out_chunk = fused_window_pass(
+                        window,
+                        tf,
+                        halo_cell,
+                        origin=(origin_row, 0),
+                        grid_range=(H, W),
+                        i_start=i_start_dev,
+                        i_target=i_target,
+                        tdv_lookup=tdv_lookup,
+                        radius=r,
+                        n_subiterations=k,
+                        n_steps=p,
+                        row_mode="shrink",
+                        col_mode="pad",
+                    )
                 out_chunk = jax.tree.map(
                     lambda o, a: o.astype(jnp.int8) if a.dtype == jnp.bool_ else o,
                     out_chunk,
@@ -196,7 +250,7 @@ def _run_ring(
 
                 # Advance the stream: tail <- end of cur, cur <- recv, and
                 # send this tick's computed chunk one hop clockwise.
-                new_tail = jax.tree.map(lambda c: c[ch - hp :], cur)
+                new_tail = jax.tree.map(lambda c: c[ch - look :], cur)
                 sent = jax.tree.map(
                     lambda a: lax.ppermute(
                         a, "ring", [(i, i + 1) for i in range(n_dev - 1)]
@@ -209,15 +263,9 @@ def _run_ring(
 
             state = (
                 chunk_like(g, ch),  # cur
-                chunk_like(g, hp),  # tail
+                chunk_like(g, look),  # tail
                 chunk_like(g, ch),  # inflow
                 jax.tree.map(jnp.zeros_like, g),  # accum
-            )
-            # The loop body makes the carry device-varying (rank-dependent
-            # selects); mark the initial carry accordingly for shard_map's
-            # replication checker.
-            state = jax.tree.map(
-                lambda a: lax.pcast(a, ("ring",), to="varying"), state
             )
             state = lax.fori_loop(0, n_ticks, tick_body, state)
             accum = state[3]
@@ -238,6 +286,10 @@ def _run_ring(
         mesh=mesh,
         in_specs=(rep(padded), rep(tf), rep(halo_cell), P(), rep(tdv_aux)),
         out_specs=rep(padded),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        # (same situation as the distributed backend); the final psum
+        # re-replicates by construction.
+        check_vma=False,
     )(padded, tf, halo_cell, offset, tdv_aux)
     return jax.tree.map(
         lambda a, like: a[:H].astype(jnp.bool_) if like.dtype == jnp.bool_ else a[:H],
@@ -256,6 +308,10 @@ class StencilUpdate(StencilUpdateBase):
       (lap depth = ``n_devices * p``).
     * ``chunk_rows`` — rows per streamed chunk (>= the compound halo
       ``r * p * n_subiterations``; default auto).
+    * ``local_compute`` — ``"pallas"`` (default: chunk windows run the
+      tiling strip kernel) or ``"xla"`` (the plain-XLA cross-check path).
+    * ``strip_rows`` / ``unroll`` / ``shift_impl`` / ``interpret`` — Pallas
+      strip-kernel knobs, as in the tiling backend.
     """
 
     _can_fallback = True
@@ -267,6 +323,11 @@ class StencilUpdate(StencilUpdateBase):
         mesh: Mesh | None = None,
         iters_per_pass: int = 2,
         chunk_rows: int | None = None,
+        local_compute: str = "pallas",
+        strip_rows: int | None = None,
+        unroll: int = 1,
+        shift_impl: str = "concat",
+        interpret: bool | None = None,
     ):
         super().__init__(params)
         if mesh is None:
@@ -276,6 +337,11 @@ class StencilUpdate(StencilUpdateBase):
         self.mesh = mesh
         self.iters_per_pass = iters_per_pass
         self.chunk_rows = chunk_rows
+        self.local_compute = local_compute
+        self.strip_rows = strip_rows
+        self.unroll = unroll
+        self.shift_impl = shift_impl
+        self.interpret = interpret
 
     def _update(self, grid: Grid) -> Grid:
         prm = self.params
@@ -288,17 +354,42 @@ class StencilUpdate(StencilUpdateBase):
 
         p = max(1, min(self.iters_per_pass, n or 1))
         hp = halo_width(r, p, k)
-        ch = self.chunk_rows or max(hp, round_up(max(H // 8, 1), 8))
-        if ch < hp:
+        m = cell_sublane_multiple(grid.arrays)
+        pallas = self.local_compute == "pallas"
+        look = round_up(hp, m) if pallas else hp
+        ch = self.chunk_rows or max(look, round_up(max(H // 8, 1), m))
+        if pallas:
+            ch = round_up(ch, m)  # aligned element windows + T | core
+        if ch < look:
             raise ValueError(
-                f"chunk_rows={ch} must be >= the compound halo r*p*k={hp}; "
-                f"raise chunk_rows or lower iters_per_pass"
+                f"chunk_rows={ch} must be >= the (aligned) compound halo "
+                f"{look} (r*p*k={hp}); raise chunk_rows or lower "
+                f"iters_per_pass"
+            )
+
+        # Lane-align the storage width for the Pallas chunk kernel; the
+        # logical grid extent drives coordinate/halo semantics.
+        arrays = grid.arrays
+        Ws = round_up(W, 128) if pallas else W
+        if Ws != W:
+            halo_typed = jax.tree.map(
+                lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, arrays
+            )
+            arrays = jax.tree.map(
+                lambda a, hv: jnp.pad(
+                    a, ((0, 0), (0, Ws - W)), constant_values=hv
+                ),
+                arrays,
+                halo_typed,
             )
 
         offset = jnp.asarray(prm.iteration_offset, jnp.int32)
         tdv_aux = strategy.prepare(tf, int(prm.iteration_offset), n)
+        interpret = (
+            self.interpret if self.interpret is not None else should_interpret()
+        )
         out = _run_ring(
-            grid.arrays,
+            arrays,
             tf,
             halo_cell,
             offset,
@@ -311,5 +402,12 @@ class StencilUpdate(StencilUpdateBase):
             chunk_rows=ch,
             mesh=self.mesh,
             grid_range=(H, W),
+            local_compute=self.local_compute,
+            strip_rows=self.strip_rows,
+            unroll=self.unroll,
+            shift_impl=self.shift_impl,
+            interpret=interpret,
         )
+        if Ws != W:
+            out = jax.tree.map(lambda a: a[:, :W], out)
         return Grid(out)

@@ -76,9 +76,6 @@ class StripPass:
         ``Hs - 2*hpm`` rows).
       base_origin: global row of input row 0 (traced scalar ok; clamped
         mode passes 0). Column origin is always 0 (full-width strips).
-      always_mask_rows: extended mode masks out-of-grid *rows* per sub-step
-        even when the storage is row-aligned (mesh-edge zeros arrive from
-        ``exchange_halo``).
     """
 
     def __init__(
@@ -103,6 +100,7 @@ class StripPass:
         shift_impl: str = "concat",
         licm: bool = False,
         interpret: bool = False,
+        force_partial: bool = False,
     ):
         H, W = grid_range
         Hs, Ws = jax.tree.leaves(arrays)[0].shape
@@ -159,7 +157,10 @@ class StripPass:
             out_rows = core
         self.T, self.win_rows, self.n_strips, self.out_rows = T, win_rows, n_strips, out_rows
 
-        has_partial = (n_iterations % p) != 0
+        # ``force_partial``: callers whose per-pass start varies by device
+        # (the ring backend — a device's whole pass may fall past the target
+        # on the last lap) need pass-through even when p divides n.
+        has_partial = force_partial or (n_iterations % p) != 0
         aligned = mode == "clamped" and Hs == H and Ws == W
 
         def encode_store(a, like):
@@ -527,11 +528,17 @@ class StripPass:
                 for j in vpos
             ],
             # Strips within a pass are independent: inputs are read-only
-            # overlapping windows of the pass INPUT, and the only possible
-            # output overlap (the clamped last strip) writes values
-            # identical to its predecessor's, so any execution order is
-            # equivalent. "parallel" lets Mosaic schedule the strip DMAs
-            # more aggressively (+1% measured on jacobi 8192^2).
+            # overlapping windows of the pass INPUT, and strip results never
+            # feed each other. "parallel" lets Mosaic schedule the strip
+            # DMAs more aggressively (+1% measured on jacobi 8192^2).
+            # DOCUMENTED ASSUMPTION (advisor r2): when T does not divide the
+            # clamped output rows, the last strip's output block overlaps
+            # its predecessor's with IDENTICAL values (both computed from
+            # the same read-only pass input), so any execution order — or
+            # even a concurrent write — stores the same bytes. v5e executes
+            # grid steps sequentially on one core; a port to a
+            # megacore-partitioned TPU generation must re-evaluate this
+            # (switch the T-not-dividing case to "arbitrary" there).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=self._vmem_limit,
                 dimension_semantics=("parallel",),

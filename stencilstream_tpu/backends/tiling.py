@@ -309,6 +309,18 @@ class StencilUpdate(StencilUpdateBase):
         self.licm = licm
         self.window_mode = window_mode
 
+    @staticmethod
+    def _row_bytes(arrays, width: int) -> int:
+        import jax as _jax
+
+        return sum(
+            width
+            * max(jnp.dtype(
+                jnp.int8 if a.dtype == jnp.bool_ else a.dtype
+            ).itemsize, 1)
+            for a in _jax.tree.leaves(arrays)
+        )
+
     def _update(self, grid: Grid) -> Grid:
         p = self.params
         tf = p.transition_function
@@ -316,11 +328,42 @@ class StencilUpdate(StencilUpdateBase):
         halo_cell = resolve_halo(p.halo_value, grid)
         n = int(p.n_iterations)
 
-        # Wide-and-short grids (too few rows to strip) run TRANSPOSED: the
-        # decomposition follows the longer axis, the reference's 2D tile
-        # calculus restated for full-width strips (tiling/Grid.hpp:305-424).
-        # The Stencil view makes the transposition invisible to the kernel.
-        if grid.height < 128 <= grid.width:
+        # Extreme-width regime (the one residual cell of the reference's 2D
+        # tile calculus, tiling/Grid.hpp:305-424): full-width strips need at
+        # least one minimal window (m + 2*ceil(r*k, m) rows) resident in
+        # VMEM with the pipeline's ~8 live window-sized buffers. Rows too
+        # wide for that run TRANSPOSED when the other orientation fits;
+        # grids too wide in BOTH orientations get a clean capacity error
+        # pointing at column sharding (a 2D-mesh distributed run splits the
+        # lane dimension across devices).
+        r, k = tf.stencil_radius, tf.n_subiterations
+        m = cell_sublane_multiple(grid.arrays)
+        min_win = m + 2 * round_up(r * k, m)
+        window_budget = TILING_VMEM_BUDGET // 8
+        rows_fit = (
+            self._row_bytes(grid.arrays, round_up(grid.width, 128)) * min_win
+            <= window_budget
+        )
+        cols_fit = (
+            self._row_bytes(grid.arrays, round_up(grid.height, 128)) * min_win
+            <= window_budget
+        )
+        if not rows_fit and not cols_fit:
+            raise ValueError(
+                f"grid rows are too wide for a VMEM strip window in either "
+                f"orientation ({grid.height}x{grid.width}, "
+                f"{self._row_bytes(grid.arrays, grid.width)} B/row, minimal "
+                f"window {min_win} rows, budget {window_budget} B): use the "
+                f"distributed backend with a 2D mesh (column sharding "
+                f"splits the lane dimension across devices)"
+            )
+
+        # Wide-and-short grids (too few rows to strip) and too-wide-rows
+        # grids run TRANSPOSED: the decomposition follows the feasible
+        # axis, the reference's 2D tile calculus restated for full-width
+        # strips (tiling/Grid.hpp:305-424). The Stencil view makes the
+        # transposition invisible to the kernel.
+        if (grid.height < 128 <= grid.width) or (not rows_fit and cols_fit):
             from .transpose import TransposedKernel, transpose_arrays
 
             import dataclasses

@@ -18,7 +18,13 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["TpuSpec", "roofline_cells_per_s", "predicted_runtime", "model_report"]
+__all__ = [
+    "TpuSpec",
+    "roofline_cells_per_s",
+    "predicted_runtime",
+    "model_report",
+    "count_vector_ops",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,6 +36,17 @@ class TpuSpec:
     hbm_efficiency: float = 0.8  # achievable fraction (matches the
     # reference's 0.8 derate, benchmark-common.jl:148)
     vpu_flops: float = 3.9e12  # f32 vector ops/s (VPU, not MXU)
+    #: Achievable full-window vector-op issue rate (ops/s) for Mosaic-
+    #: scheduled stencil kernels — the TPU analog of the reference's
+    #: synthesized-clock model constant (``benchmark-common.jl:33-36``).
+    #: CALIBRATED, not a datasheet number: jacobi5's leanest kernel (13
+    #: counted ops: 4 shifts + 9 arith) sustains ~165-225 GCell/s on v5e
+    #: depending on window structure (experiments/micro_shifts.py wrap /
+    #: monotile unroll=8), i.e. ~2.1-2.9e12 op-slots/s; 2.6e12 is the
+    #: midpoint. Compute-ceiling predictions with ops from
+    #: :func:`count_vector_ops` land within ~±30% of measured across the
+    #: four benchmarked apps.
+    vpu_vector_ops: float = 2.6e12
     vmem_bytes: int = 128 * 1024 * 1024
 
     @staticmethod
@@ -65,26 +82,163 @@ def predicted_runtime(
     *,
     iters_per_pass: int = 1,
     halo_overhead: float = 0.0,
+    compute_overhead: float | None = None,
     flops_per_cell: float = 0.0,
+    ops_per_cell: float = 0.0,
 ) -> float:
     """Model runtime for a temporally-blocked run.
 
-    Per pass of ``p = iters_per_pass`` iterations the grid is read once with
-    ``(1 + halo_overhead)`` redundancy and written once; compute is
-    ``p * flops_per_cell`` per core cell. Runtime per pass = max(memory,
+    Per pass of ``p = iters_per_pass`` iterations the grid moves
+    ``(2 + halo_overhead)`` cell-sizes of HBM traffic (read + write + the
+    redundant halo re-read) and computes ``(1 + compute_overhead)`` windows'
+    worth of ``p * ops_per_cell`` vector-op slots per cell (ops counted
+    mechanically from the traced kernel, :func:`count_vector_ops`) at the
+    calibrated achievable issue rate — falling back to nominal FLOPs at VPU
+    peak when no op count is supplied. Runtime per pass = max(memory,
     compute) — the bandwidth/compute roofline crossover, the TPU analog of
     the reference's effective-clock bound (``benchmark-common.jl:75-96``).
     """
     p = max(iters_per_pass, 1)
     n_passes = -(-n_iterations // p)
+    if compute_overhead is None:
+        compute_overhead = halo_overhead
     bytes_per_pass = grid_cells * cell_bytes * (2.0 + halo_overhead)
     mem_time = bytes_per_pass / (spec.hbm_efficiency * spec.hbm_bandwidth)
-    compute_time = (
-        grid_cells * (1.0 + halo_overhead) * p * flops_per_cell / spec.vpu_flops
-        if flops_per_cell
-        else 0.0
-    )
+    if ops_per_cell:
+        compute_time = (
+            grid_cells * (1.0 + compute_overhead) * p * ops_per_cell
+            / spec.vpu_vector_ops
+        )
+    elif flops_per_cell:
+        compute_time = (
+            grid_cells * (1.0 + compute_overhead) * p * flops_per_cell
+            / spec.vpu_flops
+        )
+    else:
+        compute_time = 0.0
     return n_passes * max(mem_time, compute_time)
+
+
+def count_vector_ops(
+    tf,
+    cell_example,
+    halo_cell,
+    *,
+    radius: int,
+    n_subiterations: int,
+    tdv=None,
+    window: tuple[int, int] = (256, 1024),
+) -> int:
+    """Count the full-window vector ops one fused iteration (all ``k``
+    sub-steps) of ``tf`` emits — the mechanical input to the compute-ceiling
+    model. Nominal FLOPs/cell (the reference's hard-coded per-app constants,
+    ``examples/*/scripts/benchmark.jl``) undercount the VPU's real work:
+    neighbor shifts, halo selects and mask compares all occupy issue slots.
+    Traces the same ``fused_substep`` the kernels run (aligned fast path)
+    and counts equations whose output is window-sized, recursing into
+    jnp-internal pjit wrappers; scalar broadcasts are excluded (folded into
+    consumers by Mosaic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..backends.fused import fused_substep
+
+    h, w = window
+    full = h * w
+    example = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct((h, w), jnp.asarray(a).dtype),
+        cell_example,
+    )
+
+    def step(window_tree):
+        out, _, _ = fused_substep(
+            window_tree,
+            tf,
+            halo_cell,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            (h, w),
+            jnp.asarray(0, jnp.int32),
+            tdv,
+            True,
+            radius=radius,
+            n_subiterations=n_subiterations,
+            row_mode="pad",
+            col_mode="pad",
+            oog_mask=False,
+        )
+        return out
+
+    jaxpr = jax.make_jaxpr(step)(example).jaxpr
+
+    def count(jx) -> int:
+        n = 0
+        for eqn in jx.eqns:
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if hasattr(sub, "jaxpr"):
+                n += count(sub.jaxpr)
+                continue
+            if eqn.primitive.name == "broadcast_in_dim":
+                continue
+            if any(
+                getattr(v.aval, "size", 0) >= full for v in eqn.outvars
+            ):
+                n += 1
+        return n
+
+    return count(jaxpr)
+
+
+def invariant_fields(
+    tf,
+    cell_example,
+    halo_cell,
+    *,
+    radius: int,
+    n_subiterations: int,
+    tdv=None,
+) -> list[bool]:
+    """Which cell fields one fused iteration provably leaves untouched
+    (output var IS the input var in the jaxpr) — the same detection the
+    Pallas backends use to elide carries and HBM write streams
+    (:class:`..backends.strip_pass.StripPass`). Used by the bench model to
+    count write bytes exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..backends.fused import fused_substep
+
+    example = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct((64, 256), jnp.asarray(a).dtype),
+        cell_example,
+    )
+
+    def step(window_tree):
+        out, _, _ = fused_substep(
+            window_tree,
+            tf,
+            halo_cell,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            (64, 256),
+            jnp.asarray(0, jnp.int32),
+            tdv,
+            True,
+            radius=radius,
+            n_subiterations=n_subiterations,
+            row_mode="pad",
+            col_mode="pad",
+            oog_mask=False,
+        )
+        return out
+
+    closed = jax.make_jaxpr(step)(example)
+    n_fields = len(jax.tree.leaves(example))
+    invars = closed.jaxpr.invars[:n_fields]
+    flags = [o is iv for o, iv in zip(closed.jaxpr.outvars, invars)]
+    if all(flags):
+        flags = [False] * n_fields  # degenerate: backends keep one output
+    return flags
 
 
 def model_report(
@@ -95,14 +249,18 @@ def model_report(
     measured_walltime: float,
     *,
     flops_per_cell: float = 0.0,
+    ops_per_cell: float = 0.0,
     **model_kwargs,
 ) -> dict:
     """Measured vs modeled, in the reference's report vocabulary
     (``benchmark-common.jl:124-173``): ``measured_throughput``,
-    ``model_accuracy`` (measured/modeled), ``occupancy``
-    (measured vs single-pass roofline), plus ``vpu_utilization``
-    (useful FLOP rate / VPU peak — the efficiency metric regressions are
-    judged by round-over-round, VERDICT round 1 #10)."""
+    ``model_accuracy`` (measured/modeled — meaningful only when the caller
+    supplies the actual configuration: ``iters_per_pass``, the exact
+    ``halo_overhead`` from the kernel geometry, and the counted
+    ``ops_per_cell``), ``occupancy`` (measured vs single-pass roofline),
+    plus ``vpu_utilization`` (useful FLOP rate / VPU peak — the efficiency
+    metric regressions are judged by round-over-round, VERDICT round 1
+    #10)."""
     measured = grid_cells * n_iterations / measured_walltime
     modeled_t = predicted_runtime(
         spec,
@@ -110,11 +268,12 @@ def model_report(
         n_iterations,
         cell_bytes,
         flops_per_cell=flops_per_cell,
+        ops_per_cell=ops_per_cell,
         **model_kwargs,
     )
     modeled = grid_cells * n_iterations / modeled_t if modeled_t else float("inf")
     roof = roofline_cells_per_s(spec, cell_bytes)
-    return {
+    report = {
         "hardware": spec.name,
         "measured_cells_per_s": measured,
         "modeled_cells_per_s": modeled,
@@ -123,3 +282,6 @@ def model_report(
         "occupancy_vs_roofline": measured / roof,
         "vpu_utilization": measured * flops_per_cell / spec.vpu_flops,
     }
+    if ops_per_cell:
+        report["counted_ops_per_cell"] = ops_per_cell
+    return report

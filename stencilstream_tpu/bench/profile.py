@@ -77,10 +77,12 @@ def strip_kernel_stats(
     m = 8
     hpm = round_up(halo_width(radius, iters_per_pass, n_subiterations), m)
     T = max(strip_rows, hpm)
-    Hs = round_up(max(H, T + 2 * hpm), T)
-    Ws = round_up(W, 128)
-    n_strips = Hs // T
     win_rows = T + 2 * hpm
+    # Clamped-mode carry geometry (StripPass): sublane-aligned, NOT padded
+    # to a strip multiple — the last strip's window/output clamp instead.
+    Hs = round_up(max(H, win_rows), m)
+    Ws = round_up(W, 128)
+    n_strips = -(-Hs // T)
 
     read_bytes = sum(cell_field_bytes) * win_rows * Ws * n_strips
     write_bytes = (

@@ -31,14 +31,18 @@ import numpy as np
 
 from ..backends import create_update
 from ..core import Grid, Params, cell_type, transition_function
+from ..core.transition import static_field
 from ..utils.io import write_csv_frame
 
 __all__ = [
     "ThermalConvectionCell",
+    "FoldedConvectionCell",
     "PseudoTransientKernel",
+    "FoldedPseudoTransientKernel",
     "ThermalSolverKernel",
     "Experiment",
     "init_grid",
+    "init_folded_grid",
     "run",
     "main",
     "FLOPS_PER_CELL",
@@ -236,6 +240,218 @@ class ThermalSolverKernel:
 
 
 # --------------------------------------------------------------------------- #
+# Folded variant: coordinate masks precomputed into invariant cell planes    #
+# --------------------------------------------------------------------------- #
+@cell_type
+class FoldedConvectionCell:
+    """The 11 physics fields plus precomputed coordinate planes.
+
+    The reference kernels guard every update with per-cell coordinate
+    compares (``if (x < nx && y < ny)``, ``convection.cpp:94-178``) that the
+    straight port re-evaluates as iota-compare chains every sub-step. The
+    coordinates never change, so the masks are functions of position alone:
+    precompute them once as cell fields. They are loop-INVARIANT (never
+    written by the kernel), so the Pallas backends elide their carry and HBM
+    write stream automatically; accumulate-style updates additionally fold
+    the mask into a coefficient plane (select -> FMA). Bit-exact vs the
+    straight port (tests/test_convection.py)."""
+
+    T: jnp.ndarray
+    Pt: jnp.ndarray
+    Vx: jnp.ndarray
+    Vy: jnp.ndarray
+    tau_xx: jnp.ndarray
+    tau_yy: jnp.ndarray
+    sigma_xy: jnp.ndarray
+    dVxd_tau: jnp.ndarray
+    dVyd_tau: jnp.ndarray
+    ErrV: jnp.ndarray
+    ErrP: jnp.ndarray
+    # invariant coordinate planes
+    m_v: jnp.ndarray        # bool: x<nx & y<ny+1 (Vy/ErrV region)
+    m_p: jnp.ndarray        # bool: x<nx & y<ny (pressure region)
+    m_sig: jnp.ndarray      # bool: m_p & x<nx-1 & y<ny-1
+    c_pt: jnp.ndarray       # m_p * delta_tau_iter/beta
+    c_vx: jnp.ndarray       # mask_x * delta_tau_iter
+    a_vx: jnp.ndarray       # 1 + mask_x*(dampX-1)
+    c_vy: jnp.ndarray       # mask_y * delta_tau_iter
+    a_vy: jnp.ndarray       # 1 + mask_y*(dampY-1)
+    m_bx0: jnp.ndarray      # bool: bc region & y==0
+    m_bx1: jnp.ndarray      # bool: bc region & y==ny-1
+    m_by0: jnp.ndarray      # bool: bc region & x==0
+    m_by1: jnp.ndarray      # bool: bc region & x==nx-1
+
+
+def folded_planes(e: "Experiment", shape, dtype=np.float32) -> dict:
+    """Precompute the coordinate planes for :class:`FoldedConvectionCell`."""
+    nx, ny = e.nx, e.ny
+    x = np.arange(shape[0])[:, None]
+    y = np.arange(shape[1])[None, :]
+    bb = lambda v: np.broadcast_to(v, shape).copy()
+    m_v = (x < nx) & (y < ny + 1)
+    m_p = (x < nx) & (y < ny)
+    inner = (x >= 1) & (y >= 1)
+    mask_x = inner & (x < nx) & (y < ny - 1)
+    mask_y = inner & (x < nx - 1) & (y < ny)
+    mask_bcx = (x < nx + 1) & (y < ny)
+    mask_bcy = (x < nx) & (y < ny + 1)
+    # Coefficients must match the straight kernel's runtime arithmetic
+    # BIT-exactly: round the scalar parameters to the working dtype FIRST
+    # and divide/combine in that dtype (the straight kernel computes
+    # dtype(delta_tau_iter) / dtype(beta) on-device).
+    dtau = dtype(e.delta_tau_iter)
+    dtau_over_beta = dtype(dtau / dtype(e.beta))
+    sel = lambda m, v: np.where(m, v, dtype(0.0)).astype(dtype)
+    return dict(
+        m_v=bb(m_v), m_p=bb(m_p),
+        m_sig=bb(m_p & (x < nx - 1) & (y < ny - 1)),
+        c_pt=bb(sel(m_p, dtau_over_beta)),
+        c_vx=bb(sel(mask_x, dtau)),
+        a_vx=bb(np.where(mask_x, dtype(e.dampX), dtype(1.0)).astype(dtype)),
+        c_vy=bb(sel(mask_y, dtau)),
+        a_vy=bb(np.where(mask_y, dtype(e.dampY), dtype(1.0)).astype(dtype)),
+        m_bx0=bb(mask_bcx & (y == 0)),
+        m_bx1=bb(mask_bcx & (y == ny - 1)),
+        m_by0=bb(mask_bcy & (x == 0)),
+        m_by1=bb(mask_bcy & (x == nx - 1)),
+    )
+
+
+@transition_function
+class FoldedPseudoTransientKernel:
+    """The pseudo-transient iteration over :class:`FoldedConvectionCell`:
+    same mathematics as :class:`PseudoTransientKernel` (bit-exact), with
+    coordinate masks read from the precomputed planes and accumulate-style
+    updates folded into coefficient-plane FMAs (``convection.cpp:76-183``).
+
+    ``with_err=False`` (static) drops the ErrV/ErrP bookkeeping: the error
+    fields are only inspected after each ``nerr``-block of the convergence
+    loop, and only the block's LAST iteration determines them — so the
+    driver runs ``nerr - 1`` lean iterations plus one full one, bit-exact
+    with running the full kernel throughout (the Err fields of earlier
+    iterations are overwritten unread)."""
+
+    stencil_radius = 1
+    n_subiterations = 3
+    handles_boundary = True
+
+    eta0: float = 0.0
+    deltaT: float = 0.0
+    delta_eta_delta_T: float = 0.0
+    roh0_g_alpha: float = 0.0
+    dx: float = 1.0
+    dy: float = 1.0
+    rho: float = 1.0
+    with_err: bool = static_field(default=True)
+
+    def get_time_dependent_value(self, i):
+        return None
+
+    def __call__(self, s):
+        c = s[0, 0]
+        inv_dx, inv_dy = 1.0 / self.dx, 1.0 / self.dy
+        inv_rho = 1.0 / self.rho
+
+        if s.subiteration == 0:
+            upd = {}
+            if self.with_err:
+                upd["ErrV"] = jnp.where(c.m_v, c.Vy, c.ErrV)
+                upd["ErrP"] = jnp.where(c.m_p, c.Pt, c.ErrP)
+            d_xa_vx = s[1, 0].Vx - c.Vx
+            d_ya_vy = s[0, 1].Vy - c.Vy
+            delta_V = d_xa_vx * inv_dx + d_ya_vy * inv_dy
+            eta = self.eta0 * (
+                1.0 - self.delta_eta_delta_T * (c.T + self.deltaT / 2.0)
+            )
+            # select -> plane FMA (c_pt is zero outside the mask)
+            upd["Pt"] = c.Pt - c.c_pt * delta_V
+            upd["tau_xx"] = jnp.where(
+                c.m_p, 2.0 * eta * (d_xa_vx * inv_dx - (1.0 / 3.0) * delta_V),
+                c.tau_xx,
+            )
+            upd["tau_yy"] = jnp.where(
+                c.m_p, 2.0 * eta * (d_ya_vy * inv_dy - (1.0 / 3.0) * delta_V),
+                c.tau_yy,
+            )
+            d_yi_vx = s[1, 1].Vx - s[1, 0].Vx
+            d_xi_vy = s[1, 1].Vy - s[0, 1].Vy
+            upd["sigma_xy"] = jnp.where(
+                c.m_sig, eta * (d_yi_vx * inv_dy + d_xi_vy * inv_dx),
+                c.sigma_xy,
+            )
+            return dataclasses.replace(c, **upd)
+
+        if s.subiteration == 1:
+            Rx = inv_rho * (
+                (c.tau_xx - s[-1, 0].tau_xx) * inv_dx
+                + (s[-1, 0].sigma_xy - s[-1, -1].sigma_xy) * inv_dy
+                - (c.Pt - s[-1, 0].Pt) * inv_dx
+            )
+            # dV' = a*dV + c*R, V' = V + c*dV' — selects folded into the
+            # coefficient planes (a=1, c=0 outside the active region).
+            dVxd_tau = c.a_vx * c.dVxd_tau + c.c_vx * Rx
+            Vx = c.Vx + c.c_vx * dVxd_tau
+            Ry = inv_rho * (
+                (c.tau_yy - s[0, -1].tau_yy) * inv_dy
+                + (s[0, -1].sigma_xy - s[-1, -1].sigma_xy) * inv_dx
+                - (c.Pt - s[0, -1].Pt) * inv_dy
+                + self.roh0_g_alpha * ((s[0, -1].T + c.T) * 0.5)
+            )
+            dVyd_tau = c.a_vy * c.dVyd_tau + c.c_vy * Ry
+            Vy = c.Vy + c.c_vy * dVyd_tau
+            return dataclasses.replace(
+                c, dVxd_tau=dVxd_tau, Vx=Vx, dVyd_tau=dVyd_tau, Vy=Vy
+            )
+
+        # sub-iteration 2: boundary conditions + error update
+        Vx = jnp.where(c.m_bx0, s[0, 1].Vx, c.Vx)
+        Vx = jnp.where(c.m_bx1, s[0, -1].Vx, Vx)
+        Vy = jnp.where(c.m_by0, s[1, 0].Vy, c.Vy)
+        Vy = jnp.where(c.m_by1, s[-1, 0].Vy, Vy)
+        upd = dict(Vx=Vx, Vy=Vy)
+        if self.with_err:
+            upd["ErrV"] = jnp.where(c.m_v, c.ErrV - Vy, c.ErrV)
+            upd["ErrP"] = jnp.where(c.m_p, c.ErrP - c.Pt, c.ErrP)
+        return dataclasses.replace(c, **upd)
+
+
+def make_folded_pseudo_transient_kernel(
+    e: "Experiment", dtype=np.float32, with_err: bool = True
+) -> FoldedPseudoTransientKernel:
+    f = lambda v: dtype(v)
+    return FoldedPseudoTransientKernel(
+        eta0=f(e.eta0), deltaT=f(e.deltaT),
+        delta_eta_delta_T=f(e.delta_eta_delta_T),
+        roh0_g_alpha=f(e.roh0_g_alpha), dx=f(e.dx), dy=f(e.dy),
+        rho=f(e.rho), with_err=with_err,
+    )
+
+
+def init_folded_grid(e: "Experiment", dtype=np.float32) -> Grid:
+    """The initial condition extended with the precomputed planes."""
+    base = init_grid(e, dtype).arrays
+    planes = folded_planes(e, (e.nx + 1, e.ny + 1), dtype)
+    return Grid(
+        FoldedConvectionCell(
+            **{f.name: getattr(base, f.name)
+               for f in dataclasses.fields(ThermalConvectionCell)},
+            **{k: jnp.asarray(v) for k, v in planes.items()},
+        )
+    )
+
+
+def folded_zero_cell(dtype=jnp.float32) -> FoldedConvectionCell:
+    z = jnp.zeros((), dtype)
+    fb = jnp.zeros((), jnp.bool_)
+    return FoldedConvectionCell(
+        T=z, Pt=z, Vx=z, Vy=z, tau_xx=z, tau_yy=z, sigma_xy=z,
+        dVxd_tau=z, dVyd_tau=z, ErrV=z, ErrP=z,
+        m_v=fb, m_p=fb, m_sig=fb, c_pt=z, c_vx=z, a_vx=z, c_vy=z, a_vy=z,
+        m_bx0=fb, m_bx1=fb, m_by0=fb, m_by1=fb,
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Experiment configuration and host driver                                    #
 # --------------------------------------------------------------------------- #
 @dataclasses.dataclass
@@ -396,21 +612,89 @@ def run(
     backend: str = "auto",
     dtype=np.float32,
     verbose: bool = True,
+    folded: bool = True,
 ):
     """Full timestep loop with pseudo-transient convergence
-    (``convection.cpp:399-478``). Returns ``(grid, stats)``."""
-    halo = zero_cell(jnp.dtype(dtype))
+    (``convection.cpp:399-478``). Returns ``(grid, stats)``.
+
+    dtype policy: the reference cell is 11 *doubles*
+    (``convection.cpp:37-40``); TPU VPUs have no f64 datapath and Mosaic
+    does not lower f64 kernels, so ``float64`` runs route to the reference
+    (oracle) backend — bit-faithful to the reference's precision, at oracle
+    speed. ``float32`` (default) runs the accelerated backends; its
+    convergence trajectory matches f64 (tests/test_convection.py)."""
+    if jnp.dtype(dtype).itemsize == 8:
+        if backend != "reference":
+            import warnings
+
+            warnings.warn(
+                "float64 convection runs on the reference backend (TPU "
+                "Pallas has no f64 datapath); use float32 for accelerated "
+                "backends",
+                stacklevel=2,
+            )
+            backend = "reference"
+        if not jax.config.read("jax_enable_x64"):
+            # Scope the x64 flag to this run: leaving it enabled globally
+            # makes later f32 Pallas traces carry i64 loop counters, which
+            # Mosaic cannot lower.
+            old = jax.config.read("jax_enable_x64")
+            jax.config.update("jax_enable_x64", True)
+            try:
+                return run(e, out_dir=out_dir, backend=backend, dtype=dtype,
+                           verbose=verbose, folded=folded)
+            finally:
+                jax.config.update("jax_enable_x64", old)
     tuned = TUNED.get(backend, {})
-    pt_update = create_update(
-        Params(
-            transition_function=make_pseudo_transient_kernel(e, dtype),
-            halo_value=halo,
-            n_iterations=e.nerr,
-            blocking=True,
-        ),
-        backend=backend,
-        **tuned,
-    )
+    folded = folded and backend != "reference"
+    if folded:
+        # Folded production path: coordinate planes precomputed (invariant
+        # cell fields), Err bookkeeping only on each block's LAST iteration
+        # (lean/full split — bit-exact, see FoldedPseudoTransientKernel).
+        halo = folded_zero_cell(jnp.dtype(dtype))
+        pt_update = create_update(
+            Params(
+                transition_function=make_folded_pseudo_transient_kernel(
+                    e, dtype, with_err=True
+                ),
+                halo_value=halo,
+                n_iterations=1,
+                blocking=True,
+            ),
+            backend=backend,
+            **tuned,
+        )
+        lean_update = (
+            create_update(
+                Params(
+                    transition_function=make_folded_pseudo_transient_kernel(
+                        e, dtype, with_err=False
+                    ),
+                    halo_value=halo,
+                    n_iterations=e.nerr - 1,
+                    blocking=True,
+                ),
+                backend=backend,
+                **tuned,
+            )
+            if e.nerr > 1
+            else None
+        )
+        grid = init_folded_grid(e, dtype)
+    else:
+        halo = zero_cell(jnp.dtype(dtype))
+        pt_update = create_update(
+            Params(
+                transition_function=make_pseudo_transient_kernel(e, dtype),
+                halo_value=halo,
+                n_iterations=e.nerr,
+                blocking=True,
+            ),
+            backend=backend,
+            **tuned,
+        )
+        lean_update = None
+        grid = init_grid(e, dtype)
     thermal_update = create_update(
         Params(
             transition_function=ThermalSolverKernel(
@@ -423,8 +707,6 @@ def run(
         backend=backend,
         **tuned,
     )
-
-    grid = init_grid(e, dtype)
     stats = []
     start = time.perf_counter()
     for it in range(1, e.nt + 1):
@@ -433,6 +715,8 @@ def run(
         iters = 0
         t0 = time.perf_counter()
         while iters < e.iterMax and (errV > e.epsilon or errP > e.epsilon):
+            if lean_update is not None:
+                grid = lean_update(grid)
             grid = pt_update(grid)
             iters += e.nerr
             m = _error_maxes(grid.arrays, e.nx, e.ny)
@@ -467,7 +751,10 @@ def run(
     total = time.perf_counter() - start
     if verbose:
         print(f"Total time = {total}")
-        print(f"Of which transient computation time: {pt_update.get_walltime()} s")
+        pt_wall = pt_update.get_walltime() + (
+            lean_update.get_walltime() if lean_update is not None else 0.0
+        )
+        print(f"Of which transient computation time: {pt_wall} s")
     return grid, {"stats": stats, "total_time": total, "pt_update": pt_update}
 
 
@@ -479,6 +766,10 @@ def main(argv=None) -> int:
     parser.add_argument("output_dir")
     parser.add_argument("--backend", default="auto")
     parser.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    parser.add_argument(
+        "--no-folded", action="store_true",
+        help="run the straight (unfolded) pseudo-transient kernel",
+    )
     args = parser.parse_args(argv)
 
     if not os.path.isfile(args.experiment):
@@ -493,7 +784,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     e = Experiment.load(args.experiment)
-    run(e, out_dir=args.output_dir, backend=args.backend, dtype=dtype)
+    run(e, out_dir=args.output_dir, backend=args.backend, dtype=dtype,
+        folded=not args.no_folded)
     return 0
 
 

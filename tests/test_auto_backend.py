@@ -28,14 +28,24 @@ def test_choose_backend_single_device():
 
 
 def test_choose_backend_multi_device():
+    # Large enough that each device gets a real share -> distributed.
+    big = Grid(jnp.zeros((1024, 128), jnp.float32))
+    assert choose_backend(big, n_devices=8) == "distributed"
+    # Small-grid guard: a toy grid on a pod must NOT ride ppermute (the
+    # collective padding would dwarf the problem) — route single-device.
     small = Grid(jnp.zeros((64, 128), jnp.float32))
-    assert choose_backend(small, n_devices=8) == "distributed"
+    assert choose_backend(small, n_devices=8) == "monotile"
+    # ...unless it is too big for VMEM residency, where distributed is the
+    # only non-redundant choice.
+    huge = Grid(jnp.zeros((8192, 8192), jnp.float32))
+    assert choose_backend(huge, n_devices=1024) == "distributed"
 
 
 def test_auto_runs_probe_and_reports_choice():
-    """End-to-end: the auto updater runs the probe contract and records which
-    backend it dispatched to (this platform has 8 virtual devices, so the
-    distributed backend is the expected resolution)."""
+    """End-to-end: the auto updater runs the probe contract and records
+    which backend it dispatched to. This platform has 8 virtual devices,
+    but the probe grid is tiny — the small-grid guard resolves it to
+    monotile; a tall grid resolves to distributed."""
     grid = make_probe_grid(24, 12)
     update = create_update(
         Params(
@@ -47,8 +57,20 @@ def test_auto_runs_probe_and_reports_choice():
     )
     out = update(grid)
     check_probe_grid(out, 3)
+    assert update.resolved_backend == "monotile"
+
+    tall = make_probe_grid(8 * 64, 12)
+    update2 = create_update(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            n_iterations=3,
+        ),
+        backend="auto",
+    )
+    check_probe_grid(update2(tall), 3)
     expected = "distributed" if len(jax.devices()) > 1 else "monotile"
-    assert update.resolved_backend == expected
+    assert update2.resolved_backend == expected
     assert update.get_n_processed_cells() == 3 * 24 * 12
 
 

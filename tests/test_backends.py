@@ -18,6 +18,11 @@ from probe import ProbeTransFunc, check_probe_grid, make_probe_grid, probe_halo_
 BACKENDS = [
     ("monotile", {}),
     ("tiling", dict(strip_rows=8, iters_per_pass=2)),
+    # The roll shift lowering is a shipped benchmark config (jacobi tiling
+    # headline) — it must be swept like the default concat lowering
+    # (VERDICT r2 weak #1: an untested code path backed the headline).
+    ("monotile", dict(shift_impl="roll")),
+    ("tiling", dict(strip_rows=8, iters_per_pass=2, shift_impl="roll")),
     ("distributed", dict(iters_per_pass=2)),
     ("ring", dict(iters_per_pass=1, chunk_rows=8)),
 ]

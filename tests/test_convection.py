@@ -122,3 +122,127 @@ class TestDriver:
         grid, info = convection.run(e, verbose=False)
         dts = [s["dt"] for s in info["stats"]]
         assert all(np.isfinite(d) and d > 0 for d in dts)
+
+
+class TestFoldedKernel:
+    """The folded production kernel (coordinate planes + lean/full split)
+    must be BIT-exact with the straight port of the reference kernels."""
+
+    def test_folded_kernel_bit_exact_vs_straight(self):
+        from stencilstream_tpu.backends import create_update
+
+        e = tiny_experiment()
+        n = 7
+        straight = create_update(
+            Params(
+                transition_function=convection.make_pseudo_transient_kernel(e),
+                halo_value=convection.zero_cell(),
+                n_iterations=n,
+            ),
+            backend="reference",
+        )(convection.init_grid(e)).to_numpy()
+        folded = create_update(
+            Params(
+                transition_function=convection.make_folded_pseudo_transient_kernel(e),
+                halo_value=convection.folded_zero_cell(),
+                n_iterations=n,
+            ),
+            backend="reference",
+        )(convection.init_folded_grid(e)).to_numpy()
+        for f in ("T", "Pt", "Vx", "Vy", "tau_xx", "tau_yy", "sigma_xy",
+                  "dVxd_tau", "dVyd_tau", "ErrV", "ErrP"):
+            np.testing.assert_array_equal(
+                getattr(folded, f), getattr(straight, f), err_msg=f
+            )
+
+    def test_lean_full_split_bit_exact(self):
+        """nerr-1 lean iterations + 1 full == nerr full iterations, on every
+        field including the error fields (earlier iterations' Err values
+        are overwritten unread)."""
+        from stencilstream_tpu.backends import create_update
+
+        e = tiny_experiment()
+        nerr = 6
+        grid0 = convection.init_folded_grid(e)
+        halo = convection.folded_zero_cell()
+
+        def upd(with_err, n):
+            return create_update(
+                Params(
+                    transition_function=convection.make_folded_pseudo_transient_kernel(
+                        e, with_err=with_err
+                    ),
+                    halo_value=halo,
+                    n_iterations=n,
+                ),
+                backend="reference",
+            )
+
+        full = upd(True, nerr)(grid0).to_numpy()
+        split = upd(True, 1)(upd(False, nerr - 1)(grid0)).to_numpy()
+        for f in ("T", "Pt", "Vx", "Vy", "ErrV", "ErrP"):
+            np.testing.assert_array_equal(
+                getattr(split, f), getattr(full, f), err_msg=f
+            )
+
+    def test_driver_folded_matches_straight(self):
+        e = tiny_experiment()
+        g1, i1 = convection.run(e, verbose=False, folded=False,
+                                backend="reference")
+        g2, i2 = convection.run(e, verbose=False, folded=True,
+                                backend="monotile")
+        np.testing.assert_allclose(
+            g2.to_numpy().T, g1.to_numpy().T, rtol=1e-6, atol=1e-7
+        )
+        assert [s["iters"] for s in i1["stats"]] == [
+            s["iters"] for s in i2["stats"]
+        ]
+
+
+class TestFloat64:
+    """The reference cell is 11 DOUBLES (convection.cpp:37-40). dtype
+    policy: f64 runs route to the oracle backend (Mosaic has no f64
+    datapath) and the f32 convergence trajectory must match f64's —
+    together these back the f32-by-default choice on TPU."""
+
+    def _run(self, dtype, backend="auto"):
+        import jax
+
+        old = jax.config.read("jax_enable_x64")
+        try:
+            e = tiny_experiment(nt=2, iterMax=400)
+            grid, info = convection.run(
+                e, backend=backend, dtype=dtype, verbose=False
+            )
+            return grid, info
+        finally:
+            jax.config.update("jax_enable_x64", old)
+
+    def test_f64_routes_to_reference_with_warning(self):
+        import pytest as _pytest
+
+        with _pytest.warns(UserWarning, match="float64 convection"):
+            grid, info = self._run(np.float64)
+        out = grid.to_numpy()
+        assert out.T.dtype == np.float64
+        assert np.isfinite(out.T).all()
+        assert np.abs(out.Vy).max() > 0
+
+    def test_f32_convergence_trajectory_matches_f64(self):
+        """Iterations-to-epsilon per timestep: the pseudo-transient loop
+        stops after the same number of nerr-blocks in f32 as in f64 (the
+        epsilon=1e-4 error-ratio test is far above f32 roundoff)."""
+        _, info32 = self._run(np.float32)
+        import pytest as _pytest
+
+        with _pytest.warns(UserWarning):
+            _, info64 = self._run(np.float64)
+        iters32 = [s["iters"] for s in info32["stats"]]
+        iters64 = [s["iters"] for s in info64["stats"]]
+        assert iters32 == iters64
+        for s32, s64 in zip(info32["stats"], info64["stats"]):
+            # converged error levels agree to well under the epsilon scale
+            assert abs(s32["errV"] - s64["errV"]) < 0.1 * max(
+                s64["errV"], 1e-12
+            )
+            assert np.isclose(s32["dt"], s64["dt"], rtol=1e-3)

@@ -165,15 +165,18 @@ class TestFDTDIndependentGold:
 # Convection                                                                  #
 # --------------------------------------------------------------------------- #
 def convection_numpy(e, T, Pt, Vx, Vy, tau_xx, tau_yy, sigma_xy, dVxdt, dVydt,
-                     n_pt_iters: int, thermal_dt: float | None):
+                     n_pt_iters: int, thermal_dt: float | None,
+                     dtype=np.float32):
     """Numpy transcription of ThermalConvection2D.jl: ``n_pt_iters``
     pseudo-transient iterations, then (optionally) one thermal step.
 
     Field shapes follow the original exactly: T/Pt/tau (nx, ny), Vx
     (nx+1, ny), Vy (nx, ny+1), sigma_xy (nx-1, ny-1), dVxdt (nx-1, ny-2),
-    dVydt (nx-2, ny-1). All float32 (the port's working dtype).
+    dVydt (nx-2, ny-1). ``dtype`` is the working precision: float32 (the
+    port's accelerated dtype) or float64 (the reference's 11-double cell,
+    ``convection.cpp:37-40``).
     """
-    f = np.float32
+    f = dtype
     nx, ny = e.nx, e.ny
     dx, dy = f(e.dx), f(e.dy)
     dtau = f(e.delta_tau_iter)
@@ -267,14 +270,16 @@ class TestConvectionIndependentGold:
             epsilon=1e-4, dmp=2.0,
         )
 
-    def run_port(self, e, n_pt_iters, thermal_dt):
+    def run_port(self, e, n_pt_iters, thermal_dt, dtype=np.float32):
         from stencilstream_tpu.models import convection
 
-        grid = convection.init_grid(e)
-        halo = convection.zero_cell()
+        grid = convection.init_grid(e, dtype)
+        halo = convection.zero_cell(dtype)
         pt = create_update(
             Params(
-                transition_function=convection.make_pseudo_transient_kernel(e),
+                transition_function=convection.make_pseudo_transient_kernel(
+                    e, dtype
+                ),
                 halo_value=halo,
                 n_iterations=n_pt_iters,
             ),
@@ -285,9 +290,9 @@ class TestConvectionIndependentGold:
             th = create_update(
                 Params(
                     transition_function=convection.ThermalSolverKernel(
-                        nx=e.nx, ny=e.ny, dx=np.float32(e.dx),
-                        dy=np.float32(e.dy), dt=np.float32(thermal_dt),
-                        DcT=np.float32(e.DcT),
+                        nx=e.nx, ny=e.ny, dx=dtype(e.dx),
+                        dy=dtype(e.dy), dt=dtype(thermal_dt),
+                        DcT=dtype(e.DcT),
                     ),
                     halo_value=halo,
                     n_iterations=1,
@@ -297,10 +302,10 @@ class TestConvectionIndependentGold:
             grid = th(grid)
         return grid.to_numpy()
 
-    def start_arrays(self, e):
+    def start_arrays(self, e, dtype=np.float32):
         from stencilstream_tpu.models import convection
 
-        init = convection.init_grid(e).to_numpy()
+        init = convection.init_grid(e, dtype).to_numpy()
         nx, ny = e.nx, e.ny
         return dict(
             T=init.T[:nx, :ny].copy(),
@@ -342,6 +347,39 @@ class TestConvectionIndependentGold:
             cmp(out.ErrV[:nx, : ny + 1], gold["ErrV"], "ErrV")
             cmp(out.ErrP[:nx, :ny], gold["ErrP"], "ErrP")
             assert np.abs(gold["Vy"]).max() > 0  # flow actually started
+
+    def test_pseudo_transient_f64_matches_julia_transcription(self):
+        """The reference cell is 11 DOUBLES (convection.cpp:37-40); the f64
+        path (routed to the oracle backend — Mosaic has no f64) must match
+        the independent gold at double-precision tolerances."""
+        import jax
+
+        old = jax.config.read("jax_enable_x64")
+        jax.config.update("jax_enable_x64", True)
+        try:
+            e = self.make_experiment()
+            nx, ny = e.nx, e.ny
+            out = self.run_port(e, 4, thermal_dt=None, dtype=np.float64)
+            gold = convection_numpy(
+                e, **self.start_arrays(e, np.float64),
+                n_pt_iters=4, thermal_dt=None, dtype=np.float64,
+            )
+            assert out.Pt.dtype == np.float64
+
+            def cmp(port, ref, name):
+                scale = max(np.abs(ref).max(), 1e-30)
+                np.testing.assert_allclose(
+                    port, ref, rtol=1e-12, atol=1e-12 * scale, err_msg=name
+                )
+
+            cmp(out.Pt[:nx, :ny], gold["Pt"], "Pt")
+            cmp(out.Vx[: nx + 1, :ny], gold["Vx"], "Vx")
+            cmp(out.Vy[:nx, : ny + 1], gold["Vy"], "Vy")
+            cmp(out.sigma_xy[: nx - 1, : ny - 1], gold["sigma_xy"], "sigma_xy")
+            cmp(out.ErrV[:nx, : ny + 1], gold["ErrV"], "ErrV")
+            assert np.abs(gold["Vy"]).max() > 0
+        finally:
+            jax.config.update("jax_enable_x64", old)
 
     def test_thermal_step_matches_julia_transcription(self):
         e = self.make_experiment()

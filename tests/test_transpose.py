@@ -61,3 +61,63 @@ def test_wide_short_matches_oracle_hotspot():
     np.testing.assert_allclose(
         out.to_numpy().temp, ref.to_numpy().temp, rtol=2e-6, atol=1e-5
     )
+
+
+class TestExtremeWidth:
+    """The residual regime of the reference's width-split tile calculus
+    (``tiling/Grid.hpp:305-424``): rows too wide for any VMEM strip window.
+    Policy: transpose when the other orientation fits; clean capacity error
+    (pointing at 2D-mesh column sharding) when both orientations are too
+    wide. Exercised with a shrunken budget so the law runs at test size;
+    the classification of the real-scale geometries (11-field x 2^16,
+    both-axes-huge) is asserted against the production budget."""
+
+    def _probe_update(self, **kw):
+        up = tiling.StencilUpdate(
+            Params(
+                transition_function=ProbeTransFunc(),
+                halo_value=probe_halo_cell(),
+                n_iterations=2,
+            ),
+            **kw,
+        )
+        up.fallback_to_reference = False
+        return up
+
+    def test_too_wide_rows_transpose_when_columns_fit(self, monkeypatch):
+        # 256 x 1024 with a toy budget: rows (1024 cols) overflow the
+        # window, columns (256) fit -> transposed execution, full probe
+        # contract (height >= 128, so the wide-short rule alone would NOT
+        # have transposed this grid).
+        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 2 * 1024 * 1024)
+        out = self._probe_update(strip_rows=128, iters_per_pass=1)(
+            make_probe_grid(256, 1024)
+        )
+        check_probe_grid(out, 2)
+
+    def test_both_orientations_too_wide_is_a_clean_error(self, monkeypatch):
+        import pytest
+
+        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 256 * 1024)
+        with pytest.raises(ValueError, match="2D mesh"):
+            self._probe_update()(make_probe_grid(1024, 1024))
+
+    def test_real_budget_classification(self):
+        """At the production budget: an 11-field f32 cell at W=2^16 must be
+        classified transpose-needed (rows too wide, columns at H=1024 fit),
+        and 2^18-wide-both-ways must be classified both-too-wide; a 64 x 2^20
+        single-f32 grid transposes (columns fit)."""
+        import jax.numpy as jnp
+
+        row_bytes = tiling.StencilUpdate._row_bytes
+        min_win = 8 + 2 * 8  # r=1, k=1 (conservative smallest window)
+        budget = tiling.TILING_VMEM_BUDGET // 8
+
+        eleven = [jnp.zeros((1, 1), jnp.float32)] * 11
+        assert row_bytes(eleven, 1 << 16) * min_win > budget  # rows: no
+        assert row_bytes(eleven, 1024) * min_win <= budget    # cols: yes
+
+        one = [jnp.zeros((1, 1), jnp.float32)]
+        assert row_bytes(one, 1 << 20) * min_win > budget     # rows: no
+        assert row_bytes(one, 64) * min_win <= budget         # cols: yes
+        assert row_bytes(one, 1 << 18) * min_win > budget     # both-huge
