@@ -30,13 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stencilstream_tpu.core import Grid, Params
 from stencilstream_tpu.backends import create_update
-from stencilstream_tpu.bench.model import (
-    TpuSpec,
-    count_vector_ops,
-    invariant_fields,
-    model_report,
-)
-from stencilstream_tpu.bench.profile import strip_kernel_stats
+from stencilstream_tpu.bench.harness import model_inputs
+from stencilstream_tpu.bench.model import TpuSpec, model_report
 
 #: Reference baseline: HotSpot monotile peak, BittWare 520N FPGA
 #: (1.84 TFLOPS / 15 ops per cell).
@@ -62,58 +57,6 @@ def bench_update(grid: Grid, make_update, n_iterations: int) -> float:
         update(grid).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best
-
-
-def model_inputs(tf, grid, halo_cell, backend, backend_kwargs, n_iterations,
-                 wall, flops_per_cell):
-    """The ACTUAL kernel configuration for the analytic model (VERDICT r2
-    #5: model_accuracy is a dead gauge unless the model sees the real
-    iters_per_pass, the exact halo overhead from the strip geometry, and
-    the counted vector-op mix rather than nominal FLOPs)."""
-    import jax
-    import jax.numpy as jnp
-
-    tdv0 = tf.get_time_dependent_value(jnp.asarray(0, jnp.int32))
-    kw = dict(radius=tf.stencil_radius, n_subiterations=tf.n_subiterations,
-              tdv=tdv0)
-    cell0 = jax.tree.map(lambda a: jnp.zeros((), a.dtype), grid.arrays)
-    ops = count_vector_ops(tf, cell0, halo_cell, **kw)
-    invariant = invariant_fields(tf, cell0, halo_cell, **kw)
-    field_bytes = [
-        jnp.dtype(a.dtype).itemsize for a in jax.tree.leaves(grid.arrays)
-    ]
-
-    if backend == "monotile":
-        # Whole run = one pass, grid VMEM-resident: one read + one write.
-        mk = dict(iters_per_pass=n_iterations, halo_overhead=0.0,
-                  ops_per_cell=ops)
-        return mk, None
-    p = backend_kwargs.get("iters_per_pass", 1)
-    stats = strip_kernel_stats(
-        grid.shape,
-        field_bytes,
-        invariant,
-        radius=tf.stencil_radius,
-        n_subiterations=tf.n_subiterations,
-        iters_per_pass=p,
-        strip_rows=backend_kwargs.get("strip_rows", 256),
-        n_iterations=n_iterations,
-        measured_walltime=wall,
-        flops_per_cell=flops_per_cell,
-    )
-    # Exact per-pass traffic/compute redundancy from the kernel geometry:
-    # read redundancy for the memory term, window redundancy for compute.
-    cells = grid.shape[0] * grid.shape[1]
-    read_bytes = stats["per_pass"]["hbm_read_bytes"]
-    write_bytes = stats["per_pass"]["hbm_write_bytes"]
-    cell_bytes = sum(field_bytes)
-    halo_overhead = (
-        (read_bytes + write_bytes) / (cells * cell_bytes) - 2.0
-    )
-    mk = dict(iters_per_pass=p, halo_overhead=max(halo_overhead, 0.0),
-              compute_overhead=stats["per_pass"]["redundancy"] - 1.0,
-              ops_per_cell=ops)
-    return mk, stats
 
 
 def result_row(app, backend, grid_shape, n_iterations, wall, flops_per_cell,

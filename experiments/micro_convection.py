@@ -313,14 +313,11 @@ def halo_for(arrays):
     return jax.tree.map(lambda a: jnp.zeros((), a.dtype), arrays)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("variant", "T", "p", "tf_static")
-)
-def run(arrays, n_passes, *, variant, T, p, tf_static):
+@functools.partial(jax.jit, static_argnames=("variant", "T", "p"))
+def run(arrays, n_passes, tf, *, variant, T, p):
     # n_passes TRACED: one Mosaic compile serves every pass count.
+    # tf rides as a pytree arg (registered dataclasses are unhashable).
     from stencilstream_tpu.backends.pallas_util import round_up
-
-    tf = tf_static
     H, W = jax.tree.leaves(arrays)[0].shape
     Ws = round_up(W, 128)
     halo = halo_for(arrays)
@@ -362,10 +359,10 @@ def main():
     if args.check:
         # folded must be BIT-exact vs prod on the physics fields
         p = 4
-        a_prod = run(build_arrays(e, "prod"), 2, variant="prod", T=args.T,
-                     p=p, tf_static=make_tf(e, "prod"))
-        a_fold = run(build_arrays(e, "folded"), 2, variant="folded", T=args.T,
-                     p=p, tf_static=make_tf(e, "folded"))
+        a_prod = run(build_arrays(e, "prod"), 2, make_tf(e, "prod"),
+                     variant="prod", T=args.T, p=p)
+        a_fold = run(build_arrays(e, "folded"), 2, make_tf(e, "folded"),
+                     variant="folded", T=args.T, p=p)
         for f in ("T", "Pt", "Vx", "Vy", "tau_xx", "tau_yy", "sigma_xy",
                   "dVxd_tau", "dVyd_tau", "ErrV", "ErrP"):
             pa = np.asarray(getattr(a_prod, f))
@@ -386,8 +383,8 @@ def main():
             iters = 4096
             n1 = max(iters // args.p // 4, 1)
             n2 = max(iters // args.p, 2)
-            f = lambda n: run(arrays, n, variant=variant, T=args.T,
-                              p=args.p, tf_static=tf)
+            f = lambda n: run(arrays, n, tf, variant=variant, T=args.T,
+                              p=args.p)
             t0 = time.perf_counter()
             sync(f(n1))
             compile_s = time.perf_counter() - t0

@@ -172,8 +172,9 @@ def make_kernel(win_rows, Ws, T, hp, n_strips, p, variant):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("T", "hp", "p", "variant", "n_passes"))
-def run(x, *, T, hp, p, variant, n_passes):
+@functools.partial(jax.jit, static_argnames=("T", "hp", "p", "variant"))
+def run(x, n_passes, *, T, hp, p, variant):
+    # n_passes TRACED: one Mosaic compile serves every pass count.
     H, Ws = x.shape
     win_rows = T + 2 * hp
     n_strips = H // T
@@ -219,7 +220,7 @@ def main():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n_passes))
+            sync(run(x, jnp.asarray(n_passes, jnp.int32), T=T, hp=hp, p=p, variant=variant))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -231,10 +232,10 @@ def main():
             for variant in args.variants.split(","):
                 try:
                     t0 = time.perf_counter()
-                    sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n1))
+                    sync(run(x, jnp.asarray(n1, jnp.int32), T=T, hp=hp, p=p, variant=variant))
                     compile_s = time.perf_counter() - t0
                     w1 = timed(T, hp, p, variant, n1)
-                    sync(run(x, T=T, hp=hp, p=p, variant=variant, n_passes=n2))
+                    sync(run(x, jnp.asarray(n2, jnp.int32), T=T, hp=hp, p=p, variant=variant))
                     w2 = timed(T, hp, p, variant, n2)
                     # Marginal rate: extra passes / extra time — cancels the
                     # fixed per-call dispatch overhead of the tunneled runtime.

@@ -148,6 +148,31 @@ CASES = {
 }
 
 
+def _attach_configured_model(result, update, grid, backend, backend_kwargs,
+                             n_iterations, cell_bytes, flops):
+    """Replace the generic model report with one wired to the ACTUAL kernel
+    configuration (counted ops, exact strip geometry) — VERDICT r2 #5."""
+    from ..backends.base import resolve_halo
+    from .harness import model_inputs
+    from .model import TpuSpec, model_report
+
+    try:
+        params = update.get_params()
+        halo = resolve_halo(params.halo_value, grid)
+        mk, stats = model_inputs(
+            params.transition_function, grid, halo, backend, backend_kwargs,
+            n_iterations, result.walltime_s, flops,
+        )
+        cells = grid.shape[0] * grid.shape[1]
+        result.model = model_report(
+            TpuSpec.detect(), cells, n_iterations, cell_bytes,
+            result.walltime_s, flops_per_cell=flops, **mk,
+        )
+        result.strip_kernel = stats
+    except Exception as e:  # keep the benchmark output robust
+        result.model["model_note"] = f"configured model unavailable: {e}"
+
+
 def main(argv=None) -> int:
     import os
 
@@ -238,6 +263,10 @@ def main(argv=None) -> int:
                 flops_per_cell=flops,
                 n_samples=args.samples,
             )
+            _attach_configured_model(
+                result, update, grid, "distributed", backend_kwargs,
+                args.n_iterations, cell_bytes, flops,
+            )
             path = write_metrics(result, args.out_dir)
             print(
                 f"{result.variant}: {result.cells_per_s / 1e9:.3f} GCell/s "
@@ -267,6 +296,10 @@ def main(argv=None) -> int:
             cell_bytes=cell_bytes,
             flops_per_cell=flops,
             n_samples=args.samples,
+        )
+        _attach_configured_model(
+            result, update, grid, args.backend, backend_kwargs,
+            args.n_iterations, cell_bytes, flops,
         )
         path = write_metrics(result, args.out_dir)
         print(

