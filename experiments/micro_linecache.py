@@ -33,7 +33,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-W0, WN, WS, WW, WE = 0.15, 0.2, 0.25, 0.1, 0.3
+# Coefficients in the CLI order make_kernel receives them: (c0..c4) =
+# (north, west, south, east, center) — Jacobi5General applies
+# c4*center + c0*north + c1*west + c2*south + c3*east, center-first.
+CN, WW_, WS, WE, W0 = 0.15, 0.2, 0.25, 0.1, 0.3
+COEFS = [CN, WW_, WS, WE, W0]
 
 
 def make_lc_kernel(T, Wd, p, n_strips, io_alias):
@@ -63,7 +67,9 @@ def make_lc_kernel(T, Wd, p, n_strips, io_alias):
             south = own
             west = jnp.where(wmask, 0.0, pltpu.roll(center, 1, 1))
             east = jnp.where(emask, 0.0, pltpu.roll(center, Wd - 1, 1))
-            own = W0 * center + WN * north + WS * south + WW * west + WE * east
+            # EXACT production chain (Jacobi5General.__call__): center-first,
+            # then north, west, south, east — bit-identical f32 order.
+            own = W0 * center + CN * north + WW_ * west + WS * south + WE * east
         o_ref[:] = own
 
     return kernel
@@ -121,7 +127,7 @@ def run_pad(x, *, T, p, n_passes, shift_impl="roll", unroll=16):
     @functools.partial(jax.jit, static_argnames=("T", "p"))
     def go(x, n_passes, *, T, p):
         kernel = jacobi.make_kernel(
-            "jacobi5_general", [W0, WN, WS, WW, WE]
+            "jacobi5_general", COEFS
         )
         sp = StripPass(
             x,
