@@ -185,11 +185,18 @@ def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling", **backend_kwar
 
 
 def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
+                     folded: bool = True, with_err: bool = False,
                      **backend_kwargs):
     """Convection pseudo-transient kernel at the reference's cuda-benchmark
     experiment scale (res=1024 -> 3071x1023 active cells,
     ``examples/convection/experiments/cuda-benchmark.json``); 50 nominal
-    ops/cell, 44 B cells (11 f32 fields)."""
+    ops/cell, 44 B dynamic cells (11 f32 fields).
+
+    ``folded=True`` benchmarks the PRODUCTION kernel (the one
+    ``convection.run`` drives): coordinate masks precomputed into invariant
+    coefficient planes, bit-exact vs the straight port. ``with_err=False``
+    is the lean variant production runs for ``nerr - 1`` of every ``nerr``
+    iterations (the Err fields are overwritten unread in between)."""
     from stencilstream_tpu.models import convection
 
     e = convection.Experiment(
@@ -197,13 +204,21 @@ def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
         Ra=1e7, Pra=1e3, res=1024, iterMax=50000, nt=100, nout=10,
         nerr=100, epsilon=1e-4, dmp=2.0,
     )
-    grid = convection.init_grid(e)
+    if folded:
+        grid = convection.init_folded_grid(e)
+        tf = convection.make_folded_pseudo_transient_kernel(
+            e, with_err=with_err)
+        halo = convection.folded_zero_cell()
+    else:
+        grid = convection.init_grid(e)
+        tf = convection.make_pseudo_transient_kernel(e)
+        halo = convection.zero_cell()
 
     def make_update(n):
         return create_update(
             Params(
-                transition_function=convection.make_pseudo_transient_kernel(e),
-                halo_value=convection.zero_cell(),
+                transition_function=tf,
+                halo_value=halo,
                 n_iterations=n,
                 blocking=True,
             ),
@@ -213,12 +228,12 @@ def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
 
     wall = bench_update(grid, make_update, n_iterations)
     mk, stats = model_inputs(
-        convection.make_pseudo_transient_kernel(e), grid,
-        convection.zero_cell(), backend, backend_kwargs, n_iterations, wall,
-        50,
+        tf, grid, halo, backend, backend_kwargs, n_iterations, wall, 50,
     )
-    return result_row("convection", backend, grid.shape, n_iterations, wall,
-                      50, 44, model_kwargs=mk, strip_stats=stats)
+    name = "convection" if folded else "convection_unfolded"
+    return result_row(name, backend, grid.shape, n_iterations, wall,
+                      50, 44, model_kwargs=mk, strip_stats=stats,
+                      folded=folded, with_err=with_err)
 
 
 def main() -> int:

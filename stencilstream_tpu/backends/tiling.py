@@ -181,8 +181,15 @@ def _run_tiling(
     # Extended mode: padded to a strip MULTIPLE — its windows index at i*T
     # and never clamp, and StripPass would otherwise shrink T until it
     # divides the core (collapsing the tuned window size).
+    # Line-cache mode: non-overlapping stride-T windows shifted by hp, plus
+    # hpm pad rows so the last strip's window and the bottom band's
+    # halo-margin read exist.
     if window_mode == "extended":
         Hs = round_up(max(H, win_rows), T)
+    elif window_mode == "linecache":
+        T = max(round_up(strip_rows, m), m)
+        n_strips_lc = -(-H // T)
+        Hs = round_up(n_strips_lc * T + hpm, m)
     else:
         Hs = round_up(max(H, win_rows), m)
     n_passes = -(-n_iterations // p)
@@ -239,6 +246,84 @@ def _run_tiling(
             return sp.run(
                 ext, offset + i_pass * p, offset, jnp.asarray(-hpm, jnp.int32)
             )
+
+    elif window_mode == "linecache":
+        # Zero-redundancy sequential strips with a VMEM overlap carry
+        # (:mod:`.line_cache`): no halo re-read, no halo re-compute. The
+        # top/bottom B = 2*hp output rows (the only ones touched by the
+        # zeroed carry / pad-row junk / missing edge substitution) are
+        # recomputed each pass by a tiny extended-mode StripPass over the
+        # pass input and patched over the line-cache output.
+        from .line_cache import LineCachePass
+
+        B = round_up(2 * hp, m)
+        lcp = LineCachePass(
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct((Hs, Ws), a.dtype), arrays
+            ),
+            tf,
+            halo_cell,
+            strategy,
+            tdv_aux,
+            radius=r,
+            n_subiterations=k,
+            n_iterations=n_iterations,
+            iters_per_pass=p,
+            strip_rows=T,
+            grid_range=(H, W),
+            shift_impl=shift_impl,
+            interpret=interpret,
+        )
+        band = StripPass(
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct((B + 2 * hpm, Ws), a.dtype),
+                arrays,
+            ),
+            tf,
+            halo_cell,
+            strategy,
+            tdv_aux,
+            radius=r,
+            n_subiterations=k,
+            n_iterations=n_iterations,
+            iters_per_pass=p,
+            strip_rows=B,
+            grid_range=(H, W),
+            mode="extended",
+            base_origin=jnp.asarray(-hpm, jnp.int32),
+            unroll=unroll,
+            shift_impl=shift_impl,
+            licm=licm,
+            interpret=interpret,
+        )
+        top_frame = jax.tree.map(
+            lambda a, hv: jnp.full((hpm, Ws), hv, a.dtype), arrays, halo_typed
+        )
+
+        def pass_body(i_pass, padded):
+            i_start = offset + i_pass * p
+            out = lcp.run(padded, i_start, offset)
+            top_in = jax.tree.map(
+                lambda f, a: jnp.concatenate(
+                    [f, lax.slice(a, (0, 0), (B + hpm, Ws))], axis=0
+                ),
+                top_frame,
+                padded,
+            )
+            top = band.run(top_in, i_start, offset, jnp.asarray(-hpm, jnp.int32))
+            bot_in = jax.tree.map(
+                lambda a: lax.slice(a, (H - B - hpm, 0), (H + hpm, Ws)), padded
+            )
+            bot = band.run(
+                bot_in, i_start, offset, jnp.asarray(H - B - hpm, jnp.int32)
+            )
+            out = jax.tree.map(
+                lambda o, t: lax.dynamic_update_slice(o, t, (0, 0)), out, top
+            )
+            out = jax.tree.map(
+                lambda o, b: lax.dynamic_update_slice(o, b, (H - B, 0)), out, bot
+            )
+            return out
 
     else:
         sp = StripPass(
@@ -400,6 +485,18 @@ class StencilUpdate(StencilUpdateBase):
         H, W = grid.shape
         Ws = round_up(W, 128)
         arrays = grid.arrays
+        window_mode = self.window_mode
+        if window_mode == "linecache":
+            # The line-cache kernel has no column-origin plumbing (full-width
+            # strips on a lane-aligned grid) and needs room for the two
+            # B-row band fixes; ineligible grids take the clamped path.
+            hp = halo_width(
+                tf.stencil_radius, iters_per_pass, tf.n_subiterations
+            )
+            B = round_up(2 * hp, m)
+            hpm = round_up(hp, m)
+            if Ws != W or H < B + hpm:
+                window_mode = "clamped"
         if Ws != W:
             halo_typed = jax.tree.map(
                 lambda hv, a: jnp.asarray(hv, a.dtype), halo_cell, arrays
@@ -426,7 +523,7 @@ class StencilUpdate(StencilUpdateBase):
             shift_impl=self.shift_impl,
             licm=self.licm,
             logical_w=W,
-            window_mode=self.window_mode,
+            window_mode=window_mode,
         )
         if Ws != W:
             out = jax.tree.map(lambda a: a[:, :W], out)

@@ -69,6 +69,7 @@ def model_inputs(tf, grid, halo_cell, backend, backend_kwargs, n_iterations,
         n_iterations=n_iterations,
         measured_walltime=wall,
         flops_per_cell=flops_per_cell,
+        window_mode=backend_kwargs.get("window_mode", "clamped"),
     )
     # Exact per-pass traffic from the kernel geometry for the memory term;
     # window redundancy for the compute term.

@@ -60,6 +60,7 @@ def strip_kernel_stats(
     measured_walltime: float | None = None,
     flops_per_cell: float = 0.0,
     spec=None,
+    window_mode: str = "clamped",
 ) -> dict:
     """Exact per-pass kernel metrics for the strip (tiling) kernel.
 
@@ -68,6 +69,10 @@ def strip_kernel_stats(
     elided (their HBM write stream does not exist). Returns per-pass and
     whole-run byte/flop counts; with ``measured_walltime``, also achieved
     bandwidth, VPU utilization and compute/memory balance.
+
+    ``window_mode="linecache"`` uses the zero-redundancy geometry of
+    :class:`~..backends.line_cache.LineCachePass`: non-overlapping stride-T
+    windows plus the two B-row band fixes per pass.
     """
     from ..backends.fused import halo_width
     from ..backends.pallas_util import round_up
@@ -75,30 +80,47 @@ def strip_kernel_stats(
 
     H, W = grid_shape
     m = 8
-    hpm = round_up(halo_width(radius, iters_per_pass, n_subiterations), m)
-    T = max(strip_rows, hpm)
-    win_rows = T + 2 * hpm
-    # Clamped-mode carry geometry (StripPass): sublane-aligned, NOT padded
-    # to a strip multiple — the last strip's window/output clamp instead.
-    Hs = round_up(max(H, win_rows), m)
+    hp = halo_width(radius, iters_per_pass, n_subiterations)
+    hpm = round_up(hp, m)
     Ws = round_up(W, 128)
-    n_strips = -(-Hs // T)
-
-    read_bytes = sum(cell_field_bytes) * win_rows * Ws * n_strips
-    write_bytes = (
-        sum(b for b, inv in zip(cell_field_bytes, invariant) if not inv)
-        * Hs
-        * Ws
+    cell_bytes = sum(cell_field_bytes)
+    out_bytes_per_cell = sum(
+        b for b, inv in zip(cell_field_bytes, invariant) if not inv
     )
-    computed_cells = n_strips * win_rows * Ws * iters_per_pass
     n_passes = -(-n_iterations // iters_per_pass)
+
+    if window_mode == "linecache":
+        T = max(round_up(strip_rows, m), m)
+        n_strips = -(-H // T)
+        Hs = round_up(n_strips * T + hpm, m)
+        B = round_up(2 * hp, m)
+        band_win = B + 2 * hpm
+        read_bytes = cell_bytes * (n_strips * T + 2 * band_win) * Ws
+        write_bytes = out_bytes_per_cell * (n_strips * T + 2 * B) * Ws
+        computed_cells = (
+            (n_strips * T + 2 * band_win) * Ws * iters_per_pass
+        )
+        redundancy = (n_strips * T + 2 * band_win) / max(H, 1)
+    else:
+        T = max(strip_rows, hpm)
+        win_rows = T + 2 * hpm
+        # Clamped-mode carry geometry (StripPass): sublane-aligned, NOT
+        # padded to a strip multiple — the last strip's window/output clamp
+        # instead.
+        Hs = round_up(max(H, win_rows), m)
+        n_strips = -(-Hs // T)
+
+        read_bytes = cell_bytes * win_rows * Ws * n_strips
+        write_bytes = out_bytes_per_cell * Hs * Ws
+        computed_cells = n_strips * win_rows * Ws * iters_per_pass
+        redundancy = win_rows * Hs / (T * max(H, 1))
 
     stats = {
         "per_pass": {
             "hbm_read_bytes": read_bytes,
             "hbm_write_bytes": write_bytes,
             "computed_cell_substeps": computed_cells * n_subiterations,
-            "redundancy": win_rows * Hs / (T * max(H, 1)),
+            "redundancy": redundancy,
         },
         "n_passes": n_passes,
         "run_hbm_bytes": n_passes * (read_bytes + write_bytes),
