@@ -40,10 +40,14 @@ CN, WW_, WS, WE, W0 = 0.15, 0.2, 0.25, 0.1, 0.3
 COEFS = [CN, WW_, WS, WE, W0]
 
 
-def make_lc_kernel(T, Wd, p, n_strips, io_alias):
-    """Line-cache jacobi5: r=1, k=1, S=p levels, full unroll."""
+def make_lc_kernel(T, Wd, p, n_strips, io_alias, stitch=False):
+    """Line-cache jacobi5: r=1, k=1, S=p levels, full unroll.
 
-    def kernel(x_ref, o_ref, carry):
+    ``stitch=True``: FPGA-style ref stitching — the window lives in a
+    persistent (T+2r, Wd) VMEM scratch; vertical taps are plain
+    static-offset loads instead of concat materializations."""
+
+    def kernel(x_ref, o_ref, carry, *maybe_ext):
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -56,14 +60,23 @@ def make_lc_kernel(T, Wd, p, n_strips, io_alias):
         emask = lane >= Wd - 1
 
         for s in range(p):
-            c = carry[s]  # (2, Wd): rows just above own at level s
-            carry[s] = own[T - 2 : T, :]  # next strip's slot s
-            # Taps (r=1): south = win[i+2] = own[i]; center = win[i+1] =
-            # shift-down-1 with row0 from the carry; north = shift-down-2
-            # with rows 0:2 from the carry (concat = the production
-            # concat-shift with the halo frame replaced by carried rows).
-            center = jnp.concatenate([c[1:2, :], own[: T - 1, :]], axis=0)
-            north = jnp.concatenate([c, own[: T - 2, :]], axis=0)
+            if stitch:
+                ext = maybe_ext[0]
+                ext[0:2] = carry[s]
+                ext[2:] = own
+                carry[s] = own[T - 2 : T, :]
+                center = ext[1 : 1 + T]
+                north = ext[0:T]
+            else:
+                c = carry[s]  # (2, Wd): rows just above own at level s
+                carry[s] = own[T - 2 : T, :]  # next strip's slot s
+                # Taps (r=1): south = win[i+2] = own[i]; center = win[i+1]
+                # = shift-down-1 with row0 from the carry; north =
+                # shift-down-2 with rows 0:2 from the carry (concat = the
+                # production concat-shift with the halo frame replaced by
+                # carried rows).
+                center = jnp.concatenate([c[1:2, :], own[: T - 1, :]], axis=0)
+                north = jnp.concatenate([c, own[: T - 2, :]], axis=0)
             south = own
             west = jnp.where(wmask, 0.0, pltpu.roll(center, 1, 1))
             east = jnp.where(emask, 0.0, pltpu.roll(center, Wd - 1, 1))
@@ -76,15 +89,32 @@ def make_lc_kernel(T, Wd, p, n_strips, io_alias):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "p", "io_alias", "H", "interpret")
+    jax.jit,
+    static_argnames=("T", "p", "io_alias", "H", "interpret", "stitch", "blocked"),
 )
-def run_lc(x, *, T, p, n_passes, io_alias, H, interpret=False):
+def run_lc(x, *, T, p, n_passes, io_alias, H, interpret=False, stitch=False,
+           blocked=False):
     # n_passes is TRACED (fori with dynamic trip count): one Mosaic compile
     # serves every pass count — compiles cost minutes on the shared service.
-    Ha, Wd = x.shape  # Ha = H + pad (pad >= hp, multiple of 8)
+    Ha, Wd = x.shape  # Ha = H + pad (pad >= hp; blocked: Ha multiple of T)
     hp = p  # r=1, k=1
     n_strips = H // T
-    kernel = make_lc_kernel(T, Wd, p, n_strips, io_alias)
+    kernel = make_lc_kernel(T, Wd, p, n_strips, io_alias, stitch=stitch)
+
+    if blocked:
+        # Plain blocked output spec (element-indexed output blocks disable
+        # Mosaic's write pipelining); requires T | Ha.
+        assert Ha % T == 0, (Ha, T)
+        out_spec = pl.BlockSpec((T, Wd), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec(
+            (pl.Element(T), pl.Element(Wd)),
+            lambda i: (pl.multiple_of(i * T, 8), 0),
+            memory_space=pltpu.VMEM,
+        )
+    scratch = [pltpu.VMEM((p, 2, Wd), jnp.float32)]
+    if stitch:
+        scratch.append(pltpu.VMEM((T + 2, Wd), jnp.float32))
 
     def one_pass(_, x):
         return pl.pallas_call(
@@ -97,13 +127,9 @@ def run_lc(x, *, T, p, n_passes, io_alias, H, interpret=False):
                     memory_space=pltpu.VMEM,
                 )
             ],
-            out_specs=pl.BlockSpec(
-                (pl.Element(T), pl.Element(Wd)),
-                lambda i: (pl.multiple_of(i * T, 8), 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Ha, Wd), x.dtype),
-            scratch_shapes=[pltpu.VMEM((p, 2, Wd), jnp.float32)],
+            scratch_shapes=scratch,
             input_output_aliases={0: 0} if io_alias else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -183,8 +209,13 @@ def main():
             T, p = core[3:].split("x")
             cases.append(("pad", int(T), int(p), False))
         else:
-            T, p = core[2:].split("x")
-            cases.append(("lc", int(T), int(p), alias))
+            head = core[2:]
+            mods = ""
+            while head and head[0] in "sb":
+                mods += head[0]
+                head = head[1:]
+            T, p = head.split("x")
+            cases.append((f"lc{mods}", int(T), int(p), alias))
 
     for kind, T, p, alias in cases:
         label = f"{kind} T={T} p={p}{' alias' if alias else ''}"
@@ -192,10 +223,15 @@ def main():
             iters = 2048
             n1, n2 = max(iters // p // 4, 1), max(iters // p, 2)
 
-            if kind == "lc":
-                pad = ((p + 7) // 8) * 8
+            if kind.startswith("lc"):
+                stitch = "s" in kind
+                blocked = "b" in kind
+                pad = T if blocked else ((p + 7) // 8) * 8
                 x = jnp.asarray(np.pad(x0, ((0, pad), (0, 0))))
-                f = lambda n: run_lc(x, T=T, p=p, n_passes=n, io_alias=alias, H=H)
+                f = lambda n: run_lc(
+                    x, T=T, p=p, n_passes=n, io_alias=alias, H=H,
+                    stitch=stitch, blocked=blocked,
+                )
             else:
                 x = jnp.asarray(x0)
                 f = lambda n: run_pad(x, T=T, p=p, n_passes=n)

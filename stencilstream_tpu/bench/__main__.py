@@ -113,7 +113,7 @@ def _fdtd_case(size, backend, backend_kwargs):
     return grid, make, 32, fdtd.FLOPS_PER_CELL
 
 
-def _convection_case(size, backend, backend_kwargs):
+def _convection_case(size, backend, backend_kwargs, folded=True):
     from ..core import Params
     from ..backends import create_update
     from ..models import convection
@@ -123,13 +123,24 @@ def _convection_case(size, backend, backend_kwargs):
         Ra=1e7, Pra=1e3, res=max(size // 3, 8), iterMax=400, nt=2, nout=1,
         nerr=50, epsilon=1e-3, dmp=2.0,
     )
-    grid = convection.init_grid(e)
+    # Default: the PRODUCTION kernel (folded coordinate planes, lean Err
+    # path — what convection.run drives for nerr-1 of every nerr
+    # iterations); --no-folded benchmarks the straight port.
+    folded = folded and backend != "reference"
+    if folded:
+        grid = convection.init_folded_grid(e)
+        tf = convection.make_folded_pseudo_transient_kernel(e, with_err=False)
+        halo = convection.folded_zero_cell()
+    else:
+        grid = convection.init_grid(e)
+        tf = convection.make_pseudo_transient_kernel(e)
+        halo = convection.zero_cell()
 
     def make(n):
         return create_update(
             Params(
-                transition_function=convection.make_pseudo_transient_kernel(e),
-                halo_value=convection.zero_cell(),
+                transition_function=tf,
+                halo_value=halo,
                 n_iterations=n,
                 blocking=True,
             ),
@@ -207,6 +218,17 @@ def main(argv=None) -> int:
         "--shift-impl", choices=["concat", "roll"], default=None,
         help="neighbor-shift lowering for the Pallas backends",
     )
+    parser.add_argument(
+        "--window-mode", choices=["clamped", "extended", "linecache"],
+        default=None,
+        help="tiling strip discipline (linecache = zero-redundancy "
+        "sequential strips with a VMEM carry)",
+    )
+    parser.add_argument(
+        "--no-folded", action="store_true",
+        help="convection: benchmark the straight (unfolded) kernel instead "
+        "of the production folded one",
+    )
     parser.add_argument("--out-dir", default=".")
     args = parser.parse_args(argv)
 
@@ -222,6 +244,8 @@ def main(argv=None) -> int:
             backend_kwargs["unroll"] = args.unroll
         if args.shift_impl:
             backend_kwargs["shift_impl"] = args.shift_impl
+        if args.window_mode and args.backend == "tiling":
+            backend_kwargs["window_mode"] = args.window_mode
     elif args.backend == "monotile":
         if args.unroll:
             backend_kwargs["unroll"] = args.unroll
@@ -232,6 +256,8 @@ def main(argv=None) -> int:
     case_kwargs = {}
     if args.app == "jacobi" and args.variant:
         case_kwargs["variant"] = args.variant
+    if args.app == "convection" and args.no_folded:
+        case_kwargs["folded"] = False
 
     if args.mode == "strong_scaling":
         import jax
