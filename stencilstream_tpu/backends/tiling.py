@@ -488,14 +488,17 @@ class StencilUpdate(StencilUpdateBase):
         window_mode = self.window_mode
         if window_mode == "linecache":
             # The line-cache kernel has no column-origin plumbing (full-width
-            # strips on a lane-aligned grid) and needs room for the two
-            # B-row band fixes; ineligible grids take the clamped path.
+            # strips on a lane-aligned grid), needs room for the two B-row
+            # band fixes, and its stride-T input windows sit at row offset
+            # ``hp`` — Mosaic requires that element offset to be a sublane
+            # multiple (measured: p=4/f32 fails window-param proving, p=8/16
+            # compile). Ineligible grids take the clamped path.
             hp = halo_width(
                 tf.stencil_radius, iters_per_pass, tf.n_subiterations
             )
             B = round_up(2 * hp, m)
             hpm = round_up(hp, m)
-            if Ws != W or H < B + hpm:
+            if Ws != W or H < B + hpm or (hp % m != 0 and not interpret):
                 window_mode = "clamped"
         if Ws != W:
             halo_typed = jax.tree.map(

@@ -229,6 +229,11 @@ def main(argv=None) -> int:
         help="convection: benchmark the straight (unfolded) kernel instead "
         "of the production folded one",
     )
+    parser.add_argument(
+        "--vmem-budget", type=int, default=None,
+        help="monotile: override the VMEM residency budget in bytes "
+        "(invariant-field elision can make grids past the estimate fit)",
+    )
     parser.add_argument("--out-dir", default=".")
     args = parser.parse_args(argv)
 
@@ -251,6 +256,8 @@ def main(argv=None) -> int:
             backend_kwargs["unroll"] = args.unroll
         if args.shift_impl:
             backend_kwargs["shift_impl"] = args.shift_impl
+        if args.vmem_budget:
+            backend_kwargs["vmem_budget"] = args.vmem_budget
 
     case = CASES[args.app]
     case_kwargs = {}
