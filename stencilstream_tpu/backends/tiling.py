@@ -366,9 +366,14 @@ class StencilUpdate(StencilUpdateBase):
     * ``iters_per_pass`` — temporal parallelism p, iterations fused per HBM
       round trip (auto: ~33% halo overhead).
     * ``interpret`` — force Pallas interpreter mode (auto: off-TPU only).
-    * ``window_mode`` — ``"clamped"`` (windows clip at the carry edges) or
+    * ``window_mode`` — ``"clamped"`` (windows clip at the carry edges),
       ``"extended"`` (halo-framed carry, static core offsets — the same
-      kernel shape the distributed backend runs; faster for some apps).
+      kernel shape the distributed backend runs; faster for some apps), or
+      ``"linecache"`` (zero-redundancy sequential strips carrying their
+      overlap rows in VMEM — the strip analog of the reference monotile
+      kernel's 2-bank line cache, ``monotile/internal/
+      StencilUpdateKernel.hpp:180-186``; requires a lane-aligned width and
+      a sublane-aligned fused halo, else falls back to clamped).
     """
 
     _can_fallback = True

@@ -37,6 +37,12 @@ BACKENDS = [
     # lowering must be exercised by the compiled Mosaic path on-chip
     # (VERDICT r2 weak #1).
     ("tiling", dict(strip_rows=64, iters_per_pass=2, shift_impl="roll")),
+    # Line-cache strip discipline through the compiled Mosaic path: probe
+    # k=2 at p=4 keeps the fused halo sublane-aligned (hp = r*p*k = 8);
+    # roll is the shipped lowering for this mode (concat column shifts
+    # crash Mosaic under the line-cache tap graph — tiling.py guard).
+    ("tiling", dict(strip_rows=64, iters_per_pass=4,
+                    window_mode="linecache", shift_impl="roll")),
     ("distributed", dict(iters_per_pass=2)),
     ("ring", dict(iters_per_pass=2, chunk_rows=64)),
 ]
