@@ -85,6 +85,7 @@ class LineCachePass:
         grid_range: tuple[int, int],
         shift_impl: str = "concat",
         interpret: bool = False,
+        io_alias: bool = True,
     ):
         H, W = grid_range
         Hs, Ws = jax.tree.leaves(arrays)[0].shape
@@ -334,6 +335,20 @@ class LineCachePass:
             int(window_bytes * 8) + (1 << 25), 120 * (1 << 20)
         )
 
+        # In-place operation: the line-cache write pattern is strictly
+        # forward (strip j writes rows [j*T, (j+1)*T), reads [j*T + hp,
+        # (j+1)*T + hp) — never rows an earlier strip wrote), so each
+        # non-invariant field's output can alias its input buffer. Measured
+        # +14% on the bare kernel (experiments/micro_linecache.py lc/alias):
+        # the overlapped-window pad mode structurally cannot do this. The
+        # leading operand count maps field j's window input to its output.
+        self._io_aliases = {}
+        if io_alias:
+            n_lead = sum(counts)
+            self._io_aliases = {
+                n_lead + jf: o for o, jf in enumerate(vpos)
+            }
+
     def run(self, arrays, i_start, offset):
         """One pass of ``iters_per_pass`` fused iterations over the carry.
 
@@ -368,6 +383,7 @@ class LineCachePass:
                 for j in vpos
             ],
             scratch_shapes=self._scratch_shapes,
+            input_output_aliases=self._io_aliases,
             # Strips are a sequential chain through the carry scratch —
             # NEVER parallel.
             compiler_params=pltpu.CompilerParams(
