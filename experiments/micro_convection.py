@@ -320,9 +320,12 @@ def run(arrays, n_passes, tf, *, variant, T, p):
     from stencilstream_tpu.backends.pallas_util import round_up
     H, W = jax.tree.leaves(arrays)[0].shape
     Ws = round_up(W, 128)
+    # Pad rows to the sublane multiple exactly like _run_tiling does
+    # (3071 is not 8-aligned; the clamped kernel wants an aligned carry).
+    Hs = round_up(H, 8)
     halo = halo_for(arrays)
     arrays = jax.tree.map(
-        lambda a: jnp.pad(a, ((0, 0), (0, Ws - W))), arrays
+        lambda a: jnp.pad(a, ((0, Hs - H), (0, Ws - W))), arrays
     )
     k = tf.n_subiterations
     sp = StripPass(
@@ -341,7 +344,7 @@ def run(arrays, n_passes, tf, *, variant, T, p):
         unroll=min(16, p),
     )
     out = lax.fori_loop(0, n_passes, lambda i, x: sp.run(x, i * p, 0), arrays)
-    return jax.tree.map(lambda a: a[:, :W], out)
+    return jax.tree.map(lambda a: a[:H, :W], out)
 
 
 def main():
