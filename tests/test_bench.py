@@ -165,3 +165,35 @@ def test_pick_config_property_sweep():
                                     2 * hpm <= strip
                                     or hpm == round_up(r * k, m)
                                 ), ctx
+
+
+def test_tables_renderer_flags_out_of_range_model_accuracy():
+    """The README table renderer (bench.tables) is the anti-drift tool:
+    rows come from BENCH_DETAILS.json verbatim and a model_accuracy outside
+    [0.5, 1.3] gets a visible marker (VERDICT r2 weak #2/#4)."""
+    from stencilstream_tpu.bench.tables import render_rows
+
+    details = {
+        "results": [
+            {
+                "case": "jacobi_tiling", "app": "jacobi5_general",
+                "backend": "tiling", "grid": [8192, 8192],
+                "n_iterations": 32768, "gcells_per_s": 176.8,
+                "gflops": 1591.0, "vs_baseline": 1.004,
+                "model": {"model_accuracy": 0.97},
+            },
+            {
+                "case": "hotspot_monotile", "app": "hotspot",
+                "backend": "monotile", "grid": [1024, 1024],
+                "n_iterations": 131072, "gcells_per_s": 169.2,
+                "gflops": 2538.0, "vs_baseline": 1.38,
+                "model": {"model_accuracy": 4.13},
+            },
+        ],
+        "convection_tiling_error": "ValueError: boom",
+    }
+    md = render_rows(details)
+    assert "176.08 GCell/s" in md          # jacobi baseline resolved
+    assert "**1.00×**" in md               # ratio formatting
+    assert md.count("OUT OF RANGE") == 1   # only the 4.13 row flagged
+    assert "FAILED: ValueError: boom" in md
