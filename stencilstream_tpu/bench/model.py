@@ -285,3 +285,55 @@ def model_report(
     if ops_per_cell:
         report["counted_ops_per_cell"] = ops_per_cell
     return report
+
+
+def ici_exchange_report(
+    spec: TpuSpec,
+    mesh_shape: tuple[int, int],
+    grid_shape: tuple[int, int],
+    cell_bytes: int,
+    *,
+    radius: int,
+    iters_per_pass: int,
+    n_subiterations: int = 1,
+    ici_bandwidth: float = 45e9,
+) -> dict:
+    """Per-pass ICI halo-exchange traffic model for the distributed backend
+    (VERDICT r2 missing #6: quantify BEFORE real-pod rounds).
+
+    The 2D-mesh Pallas path stores a lane-tile-ALIGNED column halo —
+    ``round_up(hp, 128)`` per side (``distributed._col_halo_width``;
+    unaligned lane offsets are a Mosaic performance cliff) — so the
+    column exchange moves up to ``128/hp`` x the semantically needed
+    bytes. This report makes that inflation a number the pod tuning can
+    regress against:
+
+    * ``row_bytes`` / ``col_bytes`` — per-device per-pass exchange volume
+      (both directions) on each axis;
+    * ``col_inflation`` — stored/needed column-halo ratio (1.0 on 1D
+      meshes);
+    * ``exchange_time_s`` — serial lower bound at ``ici_bandwidth``
+      (per-link, per-direction; v5e ~45 GB/s);
+    * ``exchange_fraction`` — exchange time over the pass's HBM time, the
+      decision metric for halo-exchange-per-pass vs redundant-compute.
+    """
+    from ..backends.pallas_util import round_up
+
+    ny, nx = mesh_shape
+    H, W = grid_shape
+    hp = radius * iters_per_pass * n_subiterations
+    hpm = round_up(hp, 8)
+    col_stored = round_up(hp, 128) if nx > 1 else 0
+    shard_h, shard_w = H // ny, W // nx
+    row_bytes = (2 * hpm * shard_w * cell_bytes) if ny > 1 else 0
+    col_bytes = (2 * col_stored * shard_h * cell_bytes) if nx > 1 else 0
+    shard_bytes = shard_h * shard_w * cell_bytes
+    hbm_time = 2.0 * shard_bytes / (spec.hbm_efficiency * spec.hbm_bandwidth)
+    exchange_time = (row_bytes + col_bytes) / ici_bandwidth
+    return {
+        "row_bytes": row_bytes,
+        "col_bytes": col_bytes,
+        "col_inflation": (col_stored / hp) if (nx > 1 and hp) else 1.0,
+        "exchange_time_s": exchange_time,
+        "exchange_fraction": exchange_time / hbm_time if hbm_time else 0.0,
+    }

