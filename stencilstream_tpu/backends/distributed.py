@@ -161,7 +161,15 @@ def _run_distributed(
 
         def pass_body(i_pass, local):
             if chm:
-                ext = exchange_halo(local, (hpm, chm), ("y", "x"), (ny, nx))
+                # Move only the needed hp columns over ICI (packed
+                # lane-dense); the lane-aligned chm frame is filled locally
+                # — the 8x inflation fix (bench.model.ici_exchange_report).
+                # Rows ride at the stored hpm width: full-width row slices
+                # are already lane-dense, and hpm - hp < m rows is noise.
+                ext = exchange_halo(
+                    local, (hpm, chm), ("y", "x"), (ny, nx),
+                    payload=(hpm, hp),
+                )
             else:
                 ext = exchange_halo_rows(local, hpm, "y", ny)
             return sp.run(
@@ -260,6 +268,9 @@ class StencilUpdate(StencilUpdateBase):
         self.unroll = unroll
         self.shift_impl = shift_impl
         self.interpret = interpret
+        #: The configuration the last ``_update`` actually executed — same
+        #: contract as the tiling backend's (bench model wiring).
+        self.resolved_config: dict | None = None
 
     def _update(self, grid: Grid) -> Grid:
         prm = self.params
@@ -313,6 +324,13 @@ class StencilUpdate(StencilUpdateBase):
 
             local_example = jax.tree.map(lambda a: a[: Hp // ny], padded)
             strip_rows, _ = pick_config(local_example, r, k, n, None, p)
+        self.resolved_config = dict(
+            window_mode="extended",
+            strip_rows=strip_rows if strip_rows is not None else Hp // ny,
+            iters_per_pass=p,
+            shift_impl=self.shift_impl,
+            transposed=False,
+        )
         out = _run_distributed(
             padded,
             tf,

@@ -95,6 +95,12 @@ class LineCachePass:
         hp = r * S
         m = cell_sublane_multiple(arrays)
         T = max(round_up(strip_rows, m), m)
+        if 2 * r > T:
+            raise ValueError(
+                f"line-cache carry slots hold the strip's bottom 2*radius "
+                f"rows, so 2*radius must be <= strip_rows "
+                f"(2*{r} > {T}); use a taller strip or the clamped mode"
+            )
         n_strips = -(-H // T)
         assert Hs >= n_strips * T + hp, (Hs, n_strips, T, hp)
         self.T, self.hp, self.n_strips = T, hp, n_strips

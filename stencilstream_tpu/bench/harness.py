@@ -26,12 +26,18 @@ __all__ = [
 
 
 def model_inputs(tf, grid, halo_cell, backend, backend_kwargs, n_iterations,
-                 wall, flops_per_cell):
+                 wall, flops_per_cell, updater=None):
     """The ACTUAL kernel configuration for the analytic model (VERDICT r2
     #5): the real ``iters_per_pass``, the exact halo overhead from the
     strip geometry, and the counted vector-op mix rather than nominal
     FLOPs. Returns ``(model_kwargs, strip_stats)`` — ``strip_stats`` is
-    None for non-strip backends."""
+    None for non-strip backends.
+
+    Pass the ``updater`` that ran (after at least one update) so the
+    RESOLVED configuration is modeled — a requested ``window_mode`` or
+    strip geometry the backend downgraded (linecache eligibility, auto
+    config, transposition) must not be what the model reports
+    (ADVICE r3 #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,19 +63,29 @@ def model_inputs(tf, grid, halo_cell, backend, backend_kwargs, n_iterations,
         )
     if backend not in ("tiling", "distributed"):
         return dict(ops_per_cell=ops), None
-    p = backend_kwargs.get("iters_per_pass") or 1
+    resolved = getattr(updater, "resolved_config", None) or {}
+    p = (resolved.get("iters_per_pass")
+         or backend_kwargs.get("iters_per_pass") or 1)
+    strip_rows = (resolved.get("strip_rows")
+                  or backend_kwargs.get("strip_rows") or 256)
+    window_mode = (resolved.get("window_mode")
+                   or backend_kwargs.get("window_mode", "clamped"))
+    shape = grid.shape
+    if resolved.get("transposed"):
+        shape = (shape[1], shape[0])
     stats = strip_kernel_stats(
-        grid.shape,
+        shape,
         field_bytes,
         invariant,
         radius=tf.stencil_radius,
         n_subiterations=tf.n_subiterations,
         iters_per_pass=p,
-        strip_rows=backend_kwargs.get("strip_rows") or 256,
+        strip_rows=strip_rows,
         n_iterations=n_iterations,
         measured_walltime=wall,
         flops_per_cell=flops_per_cell,
-        window_mode=backend_kwargs.get("window_mode", "clamped"),
+        window_mode=window_mode,
+        panel_cols=resolved.get("panel_cols"),
     )
     # Exact per-pass traffic from the kernel geometry for the memory term;
     # window redundancy for the compute term.

