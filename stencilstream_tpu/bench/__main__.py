@@ -172,7 +172,7 @@ def _attach_configured_model(result, update, grid, backend, backend_kwargs,
         halo = resolve_halo(params.halo_value, grid)
         mk, stats = model_inputs(
             params.transition_function, grid, halo, backend, backend_kwargs,
-            n_iterations, result.walltime_s, flops,
+            n_iterations, result.walltime_s, flops, updater=update,
         )
         cells = grid.shape[0] * grid.shape[1]
         result.model = model_report(

@@ -1,0 +1,102 @@
+"""bf16-storage wrapper (``backends/storage_cast.py``): taps upcast to f32
+for compute, results stored bf16 — the HBM-traffic-halving option for the
+bandwidth-bound regime (VERDICT r3 #4a)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stencilstream_tpu.core import Grid, Params
+from stencilstream_tpu.backends import create_update
+from stencilstream_tpu.backends.storage_cast import CastStorageKernel, cast_storage
+
+
+def _jacobi():
+    from stencilstream_tpu.models import jacobi
+
+    kernel = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
+    grid = jacobi.init_grid(96, 256)
+    return grid, kernel, jnp.float32(0.0)
+
+
+@pytest.mark.parametrize("backend,kw", [
+    ("reference", {}),
+    ("tiling", dict(strip_rows=32, iters_per_pass=2)),
+    ("monotile", dict(unroll=2)),
+])
+def test_bf16_storage_tracks_f32(backend, kw):
+    """bf16 storage must produce bf16 output arrays that track the f32 run
+    within bf16 rounding (8 mantissa bits, relative ~1e-2 after a few
+    iterations of an averaging kernel)."""
+    grid, kernel, halo = _jacobi()
+    n = 4
+    f32 = create_update(
+        Params(transition_function=kernel, halo_value=halo, n_iterations=n,
+               blocking=True),
+        backend=backend, **kw,
+    )(grid)
+    up = create_update(
+        Params(transition_function=CastStorageKernel(kernel), halo_value=halo,
+               n_iterations=n, blocking=True),
+        backend=backend, **kw,
+    )
+    up.fallback_to_reference = False
+    out = up(cast_storage(grid))
+    arr = out.arrays
+    assert arr.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(arr, np.float32), f32.to_numpy(), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_contract_passthrough():
+    """radius / sub-iterations / TDV / handles_boundary all forward."""
+    from stencilstream_tpu.models.hotspot import derive_coefficients
+
+    inner = derive_coefficients(64, 64)
+    tf = CastStorageKernel(inner)
+    assert tf.stencil_radius == inner.stencil_radius
+    assert tf.n_subiterations == inner.n_subiterations
+    assert tf.handles_boundary == getattr(inner, "handles_boundary", False)
+    i = jnp.asarray(3, jnp.int32)
+    assert tf.get_time_dependent_value(i) == inner.get_time_dependent_value(i)
+
+
+def test_hotspot_bf16_storage_boundary_kernel():
+    """hotspot clamps boundaries via stencil.id inside the kernel
+    (handles_boundary=True elides halo masks): the cast wrapper must keep
+    that path intact — compare against the f32 oracle."""
+    from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 256
+    grid = Grid.from_numpy(HotspotCell(
+        temp=rng.uniform(70, 90, (h, w)).astype(np.float32),
+        power=rng.uniform(0, 1e-3, (h, w)).astype(np.float32)))
+    kernel = derive_coefficients(h, w)
+    halo = HotspotCell(temp=jnp.float32(0), power=jnp.float32(0))
+    n = 4
+    ref = create_update(
+        Params(transition_function=kernel, halo_value=halo, n_iterations=n),
+        backend="reference",
+    )(grid)
+    up = create_update(
+        Params(transition_function=CastStorageKernel(kernel), halo_value=halo,
+               n_iterations=n, blocking=True),
+        backend="tiling", strip_rows=32, iters_per_pass=2,
+    )
+    up.fallback_to_reference = False
+    out = up(cast_storage(grid))
+    assert out.arrays.temp.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out.arrays.temp, np.float32), ref.to_numpy().temp,
+        rtol=2e-2, atol=0.5,
+    )
+
+
+def test_cast_storage_leaves_non_f32_alone():
+    arrays = {"a": jnp.ones((8, 8), jnp.float32),
+              "i": jnp.ones((8, 8), jnp.int32)}
+    out = cast_storage(arrays)
+    assert out["a"].dtype == jnp.bfloat16
+    assert out["i"].dtype == jnp.int32
