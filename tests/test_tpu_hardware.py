@@ -122,6 +122,65 @@ def test_narrow_grid_on_hardware():
         check_probe_grid(up(make_probe_grid(96, 64)), 3)
 
 
+def test_width_split_on_hardware(monkeypatch):
+    """Width-split (both orientations too wide for one strip window) through
+    the COMPILED extended-mode kernel with a traced panel column origin —
+    full probe contract (round 4, SURVEY row #15)."""
+    from probe import ProbeTransFunc, check_probe_grid, make_probe_grid, probe_halo_cell
+    from stencilstream_tpu.core import Params
+    from stencilstream_tpu.backends import tiling
+
+    monkeypatch.setattr(tiling, "TILING_VMEM_BUDGET", 3 * 512 * 1024)
+    up = tiling.StencilUpdate(
+        Params(
+            transition_function=ProbeTransFunc(),
+            halo_value=probe_halo_cell(),
+            n_iterations=2,
+        ),
+        strip_rows=128,
+        iters_per_pass=2,
+    )
+    up.fallback_to_reference = False
+    out = up(make_probe_grid(512, 512))
+    assert up.resolved_config["window_mode"] == "panels"
+    check_probe_grid(out, 2)
+
+
+def test_bf16_storage_on_hardware():
+    """bf16-storage cells through the compiled tiling kernel (16-row sublane
+    tiles, bf16 shift lowering) must track the f32 oracle within bf16
+    rounding."""
+    import jax.numpy as jnp
+
+    from stencilstream_tpu.core import Params
+    from stencilstream_tpu.backends import create_update
+    from stencilstream_tpu.backends.storage_cast import (
+        CastStorageKernel, cast_storage,
+    )
+    from stencilstream_tpu.models import jacobi
+
+    kernel = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
+    grid = jacobi.init_grid(512, 512)
+    n = 4
+    ref = create_update(
+        Params(transition_function=kernel, halo_value=jnp.float32(0),
+               n_iterations=n, blocking=True),
+        backend="reference",
+    )(grid)
+    up = create_update(
+        Params(transition_function=CastStorageKernel(kernel),
+               halo_value=jnp.float32(0), n_iterations=n, blocking=True),
+        backend="tiling", strip_rows=64, iters_per_pass=2,
+    )
+    up.fallback_to_reference = False
+    out = up(cast_storage(grid))
+    assert out.arrays.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out.arrays, np.float32), ref.to_numpy(),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_fdtd_lut_on_hardware():
     from stencilstream_tpu.models import fdtd
 
