@@ -39,14 +39,16 @@ class TpuSpec:
     #: Achievable full-window vector-op issue rate (ops/s) for Mosaic-
     #: scheduled stencil kernels — the TPU analog of the reference's
     #: synthesized-clock model constant (``benchmark-common.jl:33-36``).
-    #: CALIBRATED, not a datasheet number: jacobi5's leanest kernel (13
-    #: counted ops: 4 shifts + 9 arith) sustains ~165-225 GCell/s on v5e
-    #: depending on window structure (experiments/micro_shifts.py wrap /
-    #: monotile unroll=8), i.e. ~2.1-2.9e12 op-slots/s; 2.6e12 is the
-    #: midpoint. Compute-ceiling predictions with ops from
-    #: :func:`count_vector_ops` land within ~±30% of measured across the
-    #: four benchmarked apps.
-    vpu_vector_ops: float = 2.6e12
+    #: CALIBRATED, not a datasheet number, against the round-4 recording
+    #: session with VARIANT-ONLY op counts (:func:`count_vector_ops` —
+    #: loop-invariant chains are hoisted by Mosaic and cost ~nothing per
+    #: iteration): jacobi5 monotile sustains 224 GCell/s x 13 variant ops
+    #: = 2.91e12 slot/s, hotspot 173 x 17 = 2.94e12, fdtd 105 x 36 =
+    #: 3.79e12, folded convection 22.4 (computed-cell) x 153 = 3.43e12 —
+    #: a +-13% band whose geometric mean is 3.3e12, just under the 3.9e12
+    #: VPU peak. With this constant every benchmarked row's
+    #: ``model_accuracy`` lands in [0.80, 1.15].
+    vpu_vector_ops: float = 3.3e12
     vmem_bytes: int = 128 * 1024 * 1024
 
     @staticmethod
@@ -128,6 +130,7 @@ def count_vector_ops(
     n_subiterations: int,
     tdv=None,
     window: tuple[int, int] = (256, 1024),
+    variant_only: bool = True,
 ) -> int:
     """Count the full-window vector ops one fused iteration (all ``k``
     sub-steps) of ``tf`` emits — the mechanical input to the compute-ceiling
@@ -137,7 +140,17 @@ def count_vector_ops(
     Traces the same ``fused_substep`` the kernels run (aligned fast path)
     and counts equations whose output is window-sized, recursing into
     jnp-internal pjit wrappers; scalar broadcasts are excluded (folded into
-    consumers by Mosaic)."""
+    consumers by Mosaic).
+
+    ``variant_only`` (default): count only equations whose value DEPENDS on
+    a loop-VARIANT input — a variant window field, the iteration index, or
+    the TDV. Chains fed purely by loop-invariant fields (FDTD's coefficient
+    planes, convection's folded mask/selector planes: their shifts, selects
+    and coefficient arithmetic) are hoisted out of the per-iteration loop
+    by Mosaic's LICM (and by our own strip-kernel LICM), so they cost one
+    evaluation per PASS, amortized by ``iters_per_pass`` — counting them
+    per iteration overstated convection's per-iteration op load 3x and made
+    the round-3 model under-predict every invariant-heavy row."""
     import jax
     import jax.numpy as jnp
 
@@ -149,8 +162,9 @@ def count_vector_ops(
         lambda a: jax.ShapeDtypeStruct((h, w), jnp.asarray(a).dtype),
         cell_example,
     )
+    i0 = jnp.asarray(0, jnp.int32)
 
-    def step(window_tree):
+    def step(window_tree, i_abs, tdv_v):
         out, _, _ = fused_substep(
             window_tree,
             tf,
@@ -158,8 +172,8 @@ def count_vector_ops(
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             (h, w),
-            jnp.asarray(0, jnp.int32),
-            tdv,
+            i_abs,
+            tdv_v,
             True,
             radius=radius,
             n_subiterations=n_subiterations,
@@ -169,24 +183,55 @@ def count_vector_ops(
         )
         return out
 
-    jaxpr = jax.make_jaxpr(step)(example).jaxpr
+    closed = jax.make_jaxpr(step)(example, i0, tdv)
+    jaxpr = closed.jaxpr
+    n_fields = len(jax.tree.leaves(example))
+    win_invars = jaxpr.invars[:n_fields]
 
-    def count(jx) -> int:
+    if variant_only:
+        # Loop-invariant fields: output var IS the input var.
+        invariant = [o is iv for o, iv in zip(jaxpr.outvars, win_invars)]
+        if all(invariant):
+            invariant = [False] * n_fields
+        seed = {
+            iv for iv, inv in zip(win_invars, invariant) if not inv
+        } | set(jaxpr.invars[n_fields:])  # i_abs + tdv leaves
+    else:
+        seed = set(jaxpr.invars)
+
+    from jax._src.core import Literal
+
+    def count(jx, variant: set) -> int:
         n = 0
         for eqn in jx.eqns:
+            dep = any(
+                (not isinstance(v, Literal)) and v in variant
+                for v in eqn.invars
+            )
             sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
-            if hasattr(sub, "jaxpr"):
-                n += count(sub.jaxpr)
+            if hasattr(sub, "jaxpr") or hasattr(sub, "eqns"):
+                inner = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+                inner_variant = {
+                    siv
+                    for siv, ov in zip(inner.invars, eqn.invars)
+                    if (not isinstance(ov, Literal)) and ov in variant
+                }
+                n += count(inner, inner_variant)
+                # Conservatively: any output of a variant-fed call is variant.
+                if dep:
+                    variant.update(eqn.outvars)
                 continue
+            if dep:
+                variant.update(eqn.outvars)
             if eqn.primitive.name == "broadcast_in_dim":
                 continue
-            if any(
+            if dep and any(
                 getattr(v.aval, "size", 0) >= full for v in eqn.outvars
             ):
                 n += 1
         return n
 
-    return count(jaxpr)
+    return count(jaxpr, set(seed))
 
 
 def invariant_fields(

@@ -167,6 +167,34 @@ def test_pick_config_property_sweep():
                                 ), ctx
 
 
+def test_count_vector_ops_variant_only_excludes_hoisted_chains():
+    """Loop-invariant chains (shifts/arithmetic fed purely by invariant
+    fields, e.g. hotspot's power plane) are hoisted out of the iteration
+    loop by Mosaic — the per-iteration op count must exclude them, else the
+    compute-ceiling model under-predicts every invariant-heavy row
+    (round-3's dead-gauge model_accuracy)."""
+    import jax.numpy as jnp
+    from stencilstream_tpu.bench.model import count_vector_ops
+    from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
+    from stencilstream_tpu.models import jacobi
+
+    hs = derive_coefficients(256, 256)
+    cell0 = HotspotCell(temp=jnp.zeros((), jnp.float32),
+                        power=jnp.zeros((), jnp.float32))
+    halo = HotspotCell(temp=jnp.float32(0), power=jnp.float32(0))
+    kw = dict(radius=1, n_subiterations=1)
+    full = count_vector_ops(hs, cell0, halo, variant_only=False, **kw)
+    variant = count_vector_ops(hs, cell0, halo, **kw)
+    assert variant < full  # the invariant power plane's chain is excluded
+    assert variant >= 10   # but the temp-dependent physics is all there
+
+    jt = jacobi.make_kernel("jacobi5_general", [0.2] * 5)
+    jv = count_vector_ops(jt, jnp.zeros((), jnp.float32), jnp.float32(0), **kw)
+    jf = count_vector_ops(jt, jnp.zeros((), jnp.float32), jnp.float32(0),
+                          variant_only=False, **kw)
+    assert jv == jf  # single variant field: nothing to hoist
+
+
 def test_tables_renderer_flags_out_of_range_model_accuracy():
     """The README table renderer (bench.tables) is the anti-drift tool:
     rows come from BENCH_DETAILS.json verbatim and a model_accuracy outside
