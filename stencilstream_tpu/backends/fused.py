@@ -80,15 +80,20 @@ def shifted(a, d: int, axis: int, hv, mask: bool = True):
     if as_bool:
         a = a.astype(jnp.int8)
     n = a.shape[axis]
+    # Mosaic's rotate (tpu.dynamic_rotate) only has a 32-bit datapath —
+    # pltpu.roll on bf16/int8 fails to compile ("Rotate with non-32-bit
+    # data", measured round 4 on the bf16-storage A/B). Narrow dtypes take
+    # the concat lowering regardless of SHIFT_IMPL.
+    use_roll = SHIFT_IMPL == "roll" and a.dtype.itemsize == 4
     if not mask:
-        if SHIFT_IMPL == "roll":
+        if use_roll:
             from jax.experimental.pallas import tpu as pltpu
 
             out = pltpu.roll(a, (-d) % n, axis)
         else:
             out = jnp.roll(a, -d, axis)
         return out.astype(jnp.bool_) if as_bool else out
-    if SHIFT_IMPL == "roll":
+    if use_roll:
         from jax.experimental.pallas import tpu as pltpu
 
         out = pltpu.roll(a, (-d) % n, axis)

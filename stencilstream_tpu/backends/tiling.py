@@ -719,6 +719,18 @@ class StencilUpdate(StencilUpdateBase):
                     f"carry slots need 2*radius <= strip_rows "
                     f"(2*{tf.stencil_radius} > {T_lc})"
                 )
+            elif any(
+                a.dtype.itemsize != 4 for a in jax.tree.leaves(arrays)
+            ) and not interpret:
+                # linecache requires roll shifts on hardware, and Mosaic's
+                # rotate only has a 32-bit datapath — bf16/int8/bool storage
+                # cells take the concat lowering (fused.shifted), which
+                # crashes under the line-cache tap graph (round 4,
+                # bf16-storage A/B).
+                reason = (
+                    "cell fields with non-32-bit storage (Mosaic rotate "
+                    "is 32-bit only; the mode requires roll shifts)"
+                )
             if reason is not None:
                 warnings.warn(
                     f"window_mode='linecache' is ineligible here — falling "

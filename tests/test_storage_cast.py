@@ -100,3 +100,84 @@ def test_cast_storage_leaves_non_f32_alone():
     out = cast_storage(arrays)
     assert out["a"].dtype == jnp.bfloat16
     assert out["i"].dtype == jnp.int32
+
+
+def test_roll_lowering_skips_narrow_dtypes():
+    """Mosaic's rotate only has a 32-bit datapath ("Rotate with non-32-bit
+    data", measured round 4): under SHIFT_IMPL='roll', bf16/int8 arrays must
+    take the concat lowering (no `roll` primitive in the jaxpr) while f32
+    keeps the roll; semantics must agree between the two lowerings."""
+    import jax
+
+    import stencilstream_tpu.backends.fused as fused
+
+    rng = np.random.default_rng(7)
+    base = rng.random((8, 128)).astype(np.float32)
+    old = fused.SHIFT_IMPL
+    try:
+        fused.SHIFT_IMPL = "roll"
+        for dt, wants_roll in ((jnp.float32, True), (jnp.bfloat16, False),
+                               (jnp.int8, False)):
+            a = jnp.asarray(base * 100, dt)
+            fn = lambda x: fused.shifted(x, 1, 0, jnp.asarray(0, dt))
+            prims = {e.primitive.name for e in jax.make_jaxpr(fn)(a).eqns}
+            assert ("roll" in prims) == wants_roll, (dt, prims)
+            if not wants_roll:
+                # pltpu.roll has no eval rule outside a kernel, so only the
+                # concat-lowered dtypes can be compared eagerly.
+                lowered = fn(a)
+                fused.SHIFT_IMPL = "concat"
+                np.testing.assert_array_equal(
+                    np.asarray(lowered, np.float32),
+                    np.asarray(fn(a), np.float32))
+                fused.SHIFT_IMPL = "roll"
+    finally:
+        fused.SHIFT_IMPL = old
+
+
+def test_bf16_roll_config_matches_concat():
+    """The tuned jacobi config pins shift_impl='roll'; with bf16 storage the
+    taps transparently fall back to the concat lowering and the result is
+    identical to an explicit concat run."""
+    grid, kernel, halo = _jacobi()
+    outs = {}
+    for impl in ("roll", "concat"):
+        up = create_update(
+            Params(transition_function=CastStorageKernel(kernel),
+                   halo_value=halo, n_iterations=4, blocking=True),
+            backend="tiling", strip_rows=32, iters_per_pass=2,
+            shift_impl=impl,
+        )
+        up.fallback_to_reference = False
+        outs[impl] = np.asarray(up(cast_storage(grid)).arrays, np.float32)
+    np.testing.assert_array_equal(outs["roll"], outs["concat"])
+
+
+def test_linecache_bf16_falls_back_loudly(monkeypatch):
+    """window_mode='linecache' requires roll shifts, which Mosaic cannot
+    lower for non-32-bit cells — bf16 storage must warn and take the
+    clamped path on hardware (interpret=False)."""
+    from stencilstream_tpu.models import jacobi
+    from stencilstream_tpu.backends import tiling
+
+    kernel = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
+    grid = jacobi.init_grid(512, 256)  # tall + lane-aligned: no reroutes
+    halo = jnp.float32(0.0)
+    captured = {}
+
+    def fake_run(arrays, *a, **kw):
+        captured.update(kw)
+        return arrays
+
+    monkeypatch.setattr(tiling, "_run_tiling", fake_run)
+    up = tiling.StencilUpdate(
+        Params(transition_function=CastStorageKernel(kernel),
+               halo_value=halo, n_iterations=16),
+        strip_rows=32, iters_per_pass=16,  # hp=16: sublane-aligned for bf16
+        window_mode="linecache", shift_impl="roll", interpret=False,
+    )
+    up.fallback_to_reference = False
+    with pytest.warns(RuntimeWarning, match="non-32-bit"):
+        up(cast_storage(grid))
+    assert up.resolved_config["window_mode"] == "clamped"
+    assert captured["window_mode"] == "clamped"
