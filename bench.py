@@ -252,7 +252,7 @@ def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
         halo = convection.folded_zero_cell()
     else:
         grid = convection.init_grid(e)
-        tf = convection.make_pseudo_transient_kernel(e)
+        tf = convection.make_pseudo_transient_kernel(e, with_err=with_err)
         halo = convection.zero_cell()
 
     def make_update(n):

@@ -292,6 +292,9 @@ def make_tf(e, variant):
     f = np.float32
     if variant == "prod":
         return convection.make_pseudo_transient_kernel(e)
+    if variant == "prod_lean":
+        # straight kernel, Err bookkeeping elided (round-4 with_err split)
+        return convection.make_pseudo_transient_kernel(e, with_err=False)
     if variant in ("folded", "lean"):
         return FoldedPseudoTransientKernel(
             eta0=f(e.eta0), deltaT=f(e.deltaT),

@@ -105,6 +105,13 @@ class StripPass:
         H, W = grid_range
         Hs, Ws = jax.tree.leaves(arrays)[0].shape
         r, k, p = radius, n_subiterations, iters_per_pass
+        # Mosaic's fori_loop lowering only supports unroll == num_steps or
+        # unroll == 1; any unroll > 1 means "fully unroll the step loop", so
+        # track the RESOLVED p (pick_config may have clamped the requested
+        # iters_per_pass — e.g. the 1-iteration full pass of the convection
+        # lean/full split under a tuned unroll=16 must not crash).
+        if unroll != 1:
+            unroll = p
         m = cell_sublane_multiple(arrays)
         hp = halo_width(r, p, k)
         hpm = round_up(hp, m)

@@ -79,7 +79,21 @@ def zero_cell(dtype=jnp.float32) -> ThermalConvectionCell:
 @transition_function
 class PseudoTransientKernel:
     """Momentum/pressure pseudo-transient iteration, k=3
-    (``convection.cpp:76-183``)."""
+    (``convection.cpp:76-183``).
+
+    The coordinate masks (``x < nx``-style) are loop-INVARIANT: Mosaic's
+    LICM hoists their iota/compare chains out of the fused iteration loop,
+    so they cost nothing per iteration (the round-4 variant-op model and the
+    same-session A/B vs :class:`FoldedPseudoTransientKernel` both show the
+    straight kernel is FASTER than precomputing the masks into stored
+    coefficient planes — the planes add per-pass HBM/VMEM traffic to save
+    compute that was already free).
+
+    ``with_err=False`` (static) drops the ErrV/ErrP bookkeeping: the error
+    fields are only inspected after each ``nerr``-block of the convergence
+    loop, and every earlier iteration's Err writes are overwritten unread
+    (sub-iteration 0 snapshots over them), so running ``nerr - 1`` lean
+    iterations plus one full one is bit-exact with running full throughout."""
 
     stencil_radius = 1
     n_subiterations = 3
@@ -101,6 +115,7 @@ class PseudoTransientKernel:
     rho: float = 1.0
     dampX: float = 0.0
     dampY: float = 0.0
+    with_err: bool = static_field(default=True)
 
     def get_time_dependent_value(self, i):
         return None
@@ -119,8 +134,10 @@ class PseudoTransientKernel:
             mask_v = (x < nx) & (y < ny + 1)
             mask_p = (x < nx) & (y < ny)
 
-            ErrV = jnp.where(mask_v, c.Vy, c.ErrV)
-            ErrP = jnp.where(mask_p, c.Pt, c.ErrP)
+            err_upd = {}
+            if self.with_err:
+                err_upd["ErrV"] = jnp.where(mask_v, c.Vy, c.ErrV)
+                err_upd["ErrP"] = jnp.where(mask_p, c.Pt, c.ErrP)
 
             d_xa_vx = s[1, 0].Vx - c.Vx
             d_ya_vy = s[0, 1].Vy - c.Vy
@@ -142,8 +159,8 @@ class PseudoTransientKernel:
                 c.sigma_xy,
             )
             return dataclasses.replace(
-                c, ErrV=ErrV, ErrP=ErrP, Pt=Pt, tau_xx=tau_xx, tau_yy=tau_yy,
-                sigma_xy=sigma_xy,
+                c, Pt=Pt, tau_xx=tau_xx, tau_yy=tau_yy, sigma_xy=sigma_xy,
+                **err_upd,
             )
 
         if s.subiteration == 1:
@@ -181,9 +198,13 @@ class PseudoTransientKernel:
         Vy = jnp.where(mask_bcy & (x == 0), s[1, 0].Vy, c.Vy)
         Vy = jnp.where(mask_bcy & (x == nx - 1), s[-1, 0].Vy, Vy)
 
-        ErrV = jnp.where(mask_bcy, c.ErrV - Vy, c.ErrV)
-        ErrP = jnp.where((x < nx) & (y < ny), c.ErrP - c.Pt, c.ErrP)
-        return dataclasses.replace(c, Vx=Vx, Vy=Vy, ErrV=ErrV, ErrP=ErrP)
+        err_upd = {}
+        if self.with_err:
+            err_upd["ErrV"] = jnp.where(mask_bcy, c.ErrV - Vy, c.ErrV)
+            err_upd["ErrP"] = jnp.where(
+                (x < nx) & (y < ny), c.ErrP - c.Pt, c.ErrP
+            )
+        return dataclasses.replace(c, Vx=Vx, Vy=Vy, **err_upd)
 
 
 @transition_function
@@ -558,7 +579,9 @@ TUNED = {
 }
 
 
-def make_pseudo_transient_kernel(e: Experiment, dtype=np.float32) -> PseudoTransientKernel:
+def make_pseudo_transient_kernel(
+    e: Experiment, dtype=np.float32, with_err: bool = True
+) -> PseudoTransientKernel:
     f = lambda v: dtype(v)
     return PseudoTransientKernel(
         nx=e.nx, ny=e.ny,
@@ -567,7 +590,7 @@ def make_pseudo_transient_kernel(e: Experiment, dtype=np.float32) -> PseudoTrans
         eta0=f(e.eta0), deltaT=f(e.deltaT),
         dx=f(e.dx), dy=f(e.dy),
         delta_tau_iter=f(e.delta_tau_iter), beta=f(e.beta), rho=f(e.rho),
-        dampX=f(e.dampX), dampY=f(e.dampY),
+        dampX=f(e.dampX), dampY=f(e.dampY), with_err=with_err,
     )
 
 
@@ -682,18 +705,39 @@ def run(
         )
         grid = init_folded_grid(e, dtype)
     else:
+        # Straight production path: coordinate masks are loop-invariant and
+        # LICM-hoisted (see PseudoTransientKernel); same lean/full Err split
+        # as the folded path.
         halo = zero_cell(jnp.dtype(dtype))
+        use_lean = e.nerr > 1 and backend != "reference"
         pt_update = create_update(
             Params(
-                transition_function=make_pseudo_transient_kernel(e, dtype),
+                transition_function=make_pseudo_transient_kernel(
+                    e, dtype, with_err=True
+                ),
                 halo_value=halo,
-                n_iterations=e.nerr,
+                n_iterations=1 if use_lean else e.nerr,
                 blocking=True,
             ),
             backend=backend,
             **tuned,
         )
-        lean_update = None
+        lean_update = (
+            create_update(
+                Params(
+                    transition_function=make_pseudo_transient_kernel(
+                        e, dtype, with_err=False
+                    ),
+                    halo_value=halo,
+                    n_iterations=e.nerr - 1,
+                    blocking=True,
+                ),
+                backend=backend,
+                **tuned,
+            )
+            if use_lean
+            else None
+        )
         grid = init_grid(e, dtype)
     thermal_update = create_update(
         Params(

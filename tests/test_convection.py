@@ -185,6 +185,53 @@ class TestFoldedKernel:
                 getattr(split, f), getattr(full, f), err_msg=f
             )
 
+    def test_straight_lean_full_split_bit_exact(self):
+        """The straight kernel's with_err split (round 4: the straight
+        kernel is the faster production path — its coordinate masks are
+        LICM-hoisted for free) obeys the same bit-exactness law."""
+        from stencilstream_tpu.backends import create_update
+
+        e = tiny_experiment()
+        nerr = 6
+        grid0 = convection.init_grid(e)
+        halo = convection.zero_cell()
+
+        def upd(with_err, n):
+            return create_update(
+                Params(
+                    transition_function=convection.make_pseudo_transient_kernel(
+                        e, with_err=with_err
+                    ),
+                    halo_value=halo,
+                    n_iterations=n,
+                ),
+                backend="reference",
+            )
+
+        full = upd(True, nerr)(grid0).to_numpy()
+        split = upd(True, 1)(upd(False, nerr - 1)(grid0)).to_numpy()
+        for f in ("T", "Pt", "Vx", "Vy", "tau_xx", "tau_yy", "sigma_xy",
+                  "dVxd_tau", "dVyd_tau", "ErrV", "ErrP"):
+            np.testing.assert_array_equal(
+                getattr(split, f), getattr(full, f), err_msg=f
+            )
+
+    def test_driver_straight_lean_matches_reference(self):
+        """run(folded=False) on a compute backend (lean/full split active)
+        must match the reference-backend run (no split) exactly in
+        convergence behavior and closely in values."""
+        e = tiny_experiment()
+        g1, i1 = convection.run(e, verbose=False, folded=False,
+                                backend="reference")
+        g2, i2 = convection.run(e, verbose=False, folded=False,
+                                backend="monotile")
+        np.testing.assert_allclose(
+            g2.to_numpy().T, g1.to_numpy().T, rtol=1e-6, atol=1e-7
+        )
+        assert [s["iters"] for s in i1["stats"]] == [
+            s["iters"] for s in i2["stats"]
+        ]
+
     def test_driver_folded_matches_straight(self):
         e = tiny_experiment()
         g1, i1 = convection.run(e, verbose=False, folded=False,
