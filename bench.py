@@ -226,17 +226,18 @@ def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling",
 
 
 def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
-                     folded: bool = True, with_err: bool = False,
+                     folded: bool = False, with_err: bool = False,
                      samples: int = SAMPLES, **backend_kwargs):
     """Convection pseudo-transient kernel at the reference's cuda-benchmark
     experiment scale (res=1024 -> 3071x1023 active cells,
     ``examples/convection/experiments/cuda-benchmark.json``); 50 nominal
     ops/cell, 44 B dynamic cells (11 f32 fields).
 
-    ``folded=True`` benchmarks the PRODUCTION kernel (the one
-    ``convection.run`` drives): coordinate masks precomputed into invariant
-    coefficient planes, bit-exact vs the straight port. ``with_err=False``
-    is the lean variant production runs for ``nerr - 1`` of every ``nerr``
+    ``folded=False`` (default) benchmarks the PRODUCTION kernel (the one
+    ``convection.run`` drives): the STRAIGHT port — its coordinate masks
+    are loop-invariant and LICM-hoisted, measured faster than the folded
+    coordinate-plane variant (round 4 ladder). ``with_err=False`` is the
+    lean variant production runs for ``nerr - 1`` of every ``nerr``
     iterations (the Err fields are overwritten unread in between)."""
     from stencilstream_tpu.models import convection
 
@@ -272,7 +273,7 @@ def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
         tf, grid, halo, backend, backend_kwargs, n_iterations, wall, 50,
         updater=update,
     )
-    name = "convection" if folded else "convection_unfolded"
+    name = "convection_folded" if folded else "convection"
     return result_row(name, backend, grid.shape, n_iterations, wall,
                       50, 44, model_kwargs=mk, strip_stats=stats,
                       folded=folded, with_err=with_err)

@@ -67,7 +67,8 @@ for size in 512 1024; do
       --vmem-budget $((200 * 1024 * 1024))
 done
 
-# convection: the PRODUCTION (folded) kernel across scales; the cuda-
+# convection: the PRODUCTION (straight, lean Err) kernel across scales
+# (round 4: masks are LICM-hoisted, measured faster than folded); the cuda-
 # benchmark scale (3072 -> 3071x1023) runs the tuned p=16 config last.
 for size in 768 1536; do
   case $size in 768) n=32768;; 1536) n=16384;; esac

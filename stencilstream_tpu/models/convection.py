@@ -635,10 +635,19 @@ def run(
     backend: str = "auto",
     dtype=np.float32,
     verbose: bool = True,
-    folded: bool = True,
+    folded: bool = False,
 ):
     """Full timestep loop with pseudo-transient convergence
     (``convection.cpp:399-478``). Returns ``(grid, stats)``.
+
+    ``folded=False`` (default) drives the STRAIGHT kernel: its coordinate
+    masks are loop-invariant and LICM-hoisted out of the fused iteration
+    loop, so they are free per iteration — measured FASTER than the folded
+    coordinate-plane variant (18.7 vs 17.3 GCell/s marginal, straight-lean
+    vs folded-lean, same session, T=160 p=16) because the folded cell's six
+    extra invariant planes cost per-pass HBM/VMEM traffic to save compute
+    that costs nothing. ``folded=True`` keeps the round-3 folded variant
+    (bit-exact; retained as the measured negative result).
 
     dtype policy: the reference cell is 11 *doubles*
     (``convection.cpp:37-40``); TPU VPUs have no f64 datapath and Mosaic
@@ -671,9 +680,10 @@ def run(
     tuned = TUNED.get(backend, {})
     folded = folded and backend != "reference"
     if folded:
-        # Folded production path: coordinate planes precomputed (invariant
-        # cell fields), Err bookkeeping only on each block's LAST iteration
+        # Folded variant: coordinate planes precomputed (invariant cell
+        # fields), Err bookkeeping only on each block's LAST iteration
         # (lean/full split — bit-exact, see FoldedPseudoTransientKernel).
+        # Measured SLOWER than the straight default (see run() docstring).
         halo = folded_zero_cell(jnp.dtype(dtype))
         pt_update = create_update(
             Params(
@@ -811,8 +821,10 @@ def main(argv=None) -> int:
     parser.add_argument("--backend", default="auto")
     parser.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     parser.add_argument(
-        "--no-folded", action="store_true",
-        help="run the straight (unfolded) pseudo-transient kernel",
+        "--folded", action="store_true",
+        help="run the folded coordinate-plane pseudo-transient kernel "
+        "variant (measured slower than the straight default — the masks "
+        "are LICM-hoisted anyway; kept as the documented alternative)",
     )
     args = parser.parse_args(argv)
 
@@ -829,7 +841,7 @@ def main(argv=None) -> int:
 
     e = Experiment.load(args.experiment)
     run(e, out_dir=args.output_dir, backend=args.backend, dtype=dtype,
-        folded=not args.no_folded)
+        folded=args.folded)
     return 0
 
 

@@ -153,7 +153,7 @@ def test_fdtd_subiterations_tdv():
 
 
 def test_convection_folded_k3():
-    """The production (folded) convection kernel: k=3, handles_boundary,
+    """The folded convection kernel variant: k=3, handles_boundary,
     bool coefficient planes among the invariant fields."""
     from stencilstream_tpu.models import convection
 

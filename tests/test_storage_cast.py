@@ -181,3 +181,28 @@ def test_linecache_bf16_falls_back_loudly(monkeypatch):
         up(cast_storage(grid))
     assert up.resolved_config["window_mode"] == "clamped"
     assert captured["window_mode"] == "clamped"
+
+
+def test_bf16_storage_through_distributed_mesh():
+    """bf16 storage across the 8-device mesh: the exchange-halo path packs
+    and unpacks bf16 rows/columns with the dtype-dependent sublane multiple
+    (16 for bf16 — ADVICE r3 #4), and results track the f32 oracle."""
+    grid, kernel, halo = _jacobi()
+    n = 4
+    ref = create_update(
+        Params(transition_function=kernel, halo_value=halo, n_iterations=n,
+               blocking=True),
+        backend="reference",
+    )(grid)
+    up = create_update(
+        Params(transition_function=CastStorageKernel(kernel), halo_value=halo,
+               n_iterations=n, blocking=True),
+        backend="distributed", iters_per_pass=2,
+    )
+    up.fallback_to_reference = False
+    out = up(cast_storage(grid))
+    assert out.arrays.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out.arrays, np.float32), ref.to_numpy(),
+        rtol=2e-2, atol=2e-2,
+    )
