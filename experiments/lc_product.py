@@ -63,7 +63,16 @@ def run_hotspot():
     halo = HotspotCell(temp=jnp.float32(0), power=jnp.float32(0))
     base = dict(strip_rows=224, iters_per_pass=16, unroll=16)
 
-    for label, extra in [("pad", {}), ("linecache", {"window_mode": "linecache"})]:
+    # Three arms: production pad (concat shifts), pad+roll (isolates the
+    # shift lowering — the linecache gate coerces concat->roll, so without
+    # this arm a LC-vs-pad delta confounds window discipline with shift
+    # impl), and linecache (roll).
+    arms = [
+        ("pad+concat", {}),
+        ("pad+roll", {"shift_impl": "roll"}),
+        ("linecache", {"window_mode": "linecache"}),
+    ]
+    for label, extra in arms:
         def make(n, extra=extra):
             return create_update(
                 Params(transition_function=kernel, halo_value=halo,
@@ -98,7 +107,12 @@ def run_fdtd():
     base.setdefault("iters_per_pass", 8)
     base.setdefault("unroll", 8)
 
-    for label, extra in [("pad", {}), ("linecache", {"window_mode": "linecache"})]:
+    arms = [
+        ("pad+concat", {}),
+        ("pad+roll", {"shift_impl": "roll"}),
+        ("linecache", {"window_mode": "linecache"}),
+    ]
+    for label, extra in arms:
         def make(n, extra=extra):
             update, _ = fdtd.build_simulation(
                 params, resolver=resolver, backend="tiling", n_iterations=n,

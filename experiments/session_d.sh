@@ -16,7 +16,7 @@ timeout 3600 python -u experiments/micro_bf16.py both 8192 2>&1 \
   | tee -a "$LOG" | tail -5
 
 stage "D2: linecache product A/B hotspot 8192^2 + fdtd 1024^2"
-timeout 5400 python -u experiments/lc_product.py both 2>&1 \
+timeout 9000 python -u experiments/lc_product.py both 2>&1 \
   | tee -a "$LOG" | tail -8
 
 stage "D3: monotile capacity anchors"

@@ -131,7 +131,7 @@ def count_vector_ops(
     tdv=None,
     window: tuple[int, int] = (256, 1024),
     variant_only: bool = True,
-) -> int:
+) -> float:
     """Count the full-window vector ops one fused iteration (all ``k``
     sub-steps) of ``tf`` emits — the mechanical input to the compute-ceiling
     model. Nominal FLOPs/cell (the reference's hard-coded per-app constants,
@@ -150,7 +150,17 @@ def count_vector_ops(
     by Mosaic's LICM (and by our own strip-kernel LICM), so they cost one
     evaluation per PASS, amortized by ``iters_per_pass`` — counting them
     per iteration overstated convection's per-iteration op load 3x and made
-    the round-3 model under-predict every invariant-heavy row."""
+    the round-3 model under-predict every invariant-heavy row.
+
+    Ops are WEIGHTED by element width: the VPU's lanes are 32-bit, and ops
+    on narrower elements process packed sub-lanes — a bf16 op moves 2x the
+    elements per issue slot, so it charges 0.5 slots (int8/bool: 0.25);
+    f64 charges 2. ``convert_element_type`` is excluded like broadcasts
+    (Mosaic fuses dtype converts into the producing/consuming op). Both
+    rules validated by the round-4 bf16-storage A/B: jacobi bf16 storage
+    measures 1.22x its f32 twin, exactly the weighted model's 13 -> 11
+    slots plus the halved memory share; unweighted counting would predict
+    bf16 SLOWER (taps + converts) and flag the row as a model outlier."""
     import jax
     import jax.numpy as jnp
 
@@ -201,8 +211,8 @@ def count_vector_ops(
 
     from jax._src.core import Literal
 
-    def count(jx, variant: set) -> int:
-        n = 0
+    def count(jx, variant: set) -> float:
+        n = 0.0
         for eqn in jx.eqns:
             dep = any(
                 (not isinstance(v, Literal)) and v in variant
@@ -223,12 +233,14 @@ def count_vector_ops(
                 continue
             if dep:
                 variant.update(eqn.outvars)
-            if eqn.primitive.name == "broadcast_in_dim":
+            if eqn.primitive.name in ("broadcast_in_dim", "convert_element_type"):
                 continue
-            if dep and any(
-                getattr(v.aval, "size", 0) >= full for v in eqn.outvars
-            ):
-                n += 1
+            big = [
+                v for v in eqn.outvars
+                if getattr(v.aval, "size", 0) >= full
+            ]
+            if dep and big:
+                n += jnp.dtype(big[0].aval.dtype).itemsize / 4
         return n
 
     return count(jaxpr, set(seed))

@@ -26,6 +26,8 @@ _LABELS = {
     "hotspot_tiling": "HotSpot, HBM-resident ({g}², tiling{cfg})",
     "jacobi_monotile": "Jacobi5, VMEM-resident ({g}², monotile)",
     "jacobi_tiling": "Jacobi5, HBM-resident ({g}², tiling{cfg})",
+    "jacobi_tiling_bf16":
+        "Jacobi5, HBM-resident, bf16 storage ({g}², tiling{cfg})",
     "fdtd_monotile": "FDTD ({g}², k=2, 8-field cells, monotile)",
     "fdtd_tiling": "FDTD ({g}², k=2, 8-field cells, tiling)",
     "convection_tiling": "Convection ({gx}×{gy}, k=3, 11-field cells, tiling)",
@@ -46,6 +48,12 @@ def render_rows(details: dict) -> str:
             label_t = case
         g = r["grid"]
         cfg = ""
+        if r.get("folded"):
+            cfg += ", folded"
+        if r.get("with_err") is False:
+            cfg += ", lean Err"
+        if case.startswith("convection") and cfg:
+            label_t = label_t.replace(", tiling)", ", tiling{cfg})")
         label = label_t.format(g=g[0], gx=g[0], gy=g[1], cfg=cfg)
         tput = f"**{r['gcells_per_s']:.1f} GCell/s ({r['gflops']/1000:.2f} TFLOP/s)**"
         base = _BASELINES.get(r["app"], "n/a (figure only)")

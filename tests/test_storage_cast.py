@@ -206,3 +206,45 @@ def test_bf16_storage_through_distributed_mesh():
         np.asarray(out.arrays, np.float32), ref.to_numpy(),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_cast_wrapper_preserves_invariant_passthrough():
+    """A field the inner kernel passes through unchanged (hotspot's power
+    plane: ``return HotspotCell(temp=..., power=center.power)``) must stay
+    loop-INVARIANT under CastStorageKernel. Without the tap-memo +
+    identity-restoration in the wrapper, the upcast->downcast round-trip
+    made the output var differ from the input var, defeating
+    invariant-field elision — measured on v5e round 4 as hotspot bf16
+    running 0.825x of f32 (the power plane was re-written every
+    sub-step)."""
+    import jax
+
+    from stencilstream_tpu.bench.model import count_vector_ops, invariant_fields
+    from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
+
+    hs = derive_coefficients(64, 64)
+    halo = HotspotCell(temp=jnp.float32(0), power=jnp.float32(0))
+    wrapped = CastStorageKernel(hs)
+    cell_bf = HotspotCell(temp=jnp.zeros((), jnp.bfloat16),
+                          power=jnp.zeros((), jnp.bfloat16))
+    kw = dict(radius=1, n_subiterations=1)
+    assert invariant_fields(wrapped, cell_bf, halo, **kw) == [False, True]
+
+    # Dtype-weighted op count: bf16 window ops charge 0.5 issue slots
+    # (packed 16-bit lanes), converts are fused/free — the bf16-storage
+    # kernel must count FEWER slots than its f32 twin, matching the
+    # measured jacobi bf16 1.22x (13 -> 11 slots).
+    cell_f32 = HotspotCell(temp=jnp.zeros((), jnp.float32),
+                           power=jnp.zeros((), jnp.float32))
+    f32_ops = count_vector_ops(hs, cell_f32, halo, **kw)
+    bf16_ops = count_vector_ops(wrapped, cell_bf, halo, **kw)
+    assert bf16_ops < f32_ops
+
+    from stencilstream_tpu.models import jacobi
+
+    jt = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
+    assert count_vector_ops(jt, jnp.zeros((), jnp.float32),
+                            jnp.float32(0), **kw) == 13.0
+    assert count_vector_ops(CastStorageKernel(jt),
+                            jnp.zeros((), jnp.bfloat16),
+                            jnp.float32(0), **kw) == 11.0
