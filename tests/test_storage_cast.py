@@ -248,3 +248,31 @@ def test_cast_wrapper_preserves_invariant_passthrough():
     assert count_vector_ops(CastStorageKernel(jt),
                             jnp.zeros((), jnp.bfloat16),
                             jnp.float32(0), **kw) == 11.0
+
+
+def test_fp8_storage_through_tiling():
+    """float8_e4m3 storage (STATUS r3 next-round candidate): the
+    storage_cast machinery is dtype-parametric, so fp8 rides the same
+    wrapper — 1-byte cells quarter the per-pass HBM bytes. Numerics: 3
+    mantissa bits round each stored iteration to ~1 significant decimal
+    digit; the tolerance contract is correspondingly loose (bandwidth-
+    bound throughput studies, not convergence-critical runs)."""
+    grid, kernel, halo = _jacobi()
+    f8 = jnp.float8_e4m3fn
+    n = 4
+    ref = create_update(
+        Params(transition_function=kernel, halo_value=halo, n_iterations=n,
+               blocking=True),
+        backend="reference",
+    )(grid)
+    up = create_update(
+        Params(transition_function=CastStorageKernel(kernel, f8),
+               halo_value=halo, n_iterations=n, blocking=True),
+        backend="tiling", strip_rows=32, iters_per_pass=2, interpret=True)
+    up.fallback_to_reference = False
+    out = up(cast_storage(grid, f8))
+    assert out.arrays.dtype == f8
+    np.testing.assert_allclose(
+        np.asarray(out.arrays, np.float32), ref.to_numpy(),
+        rtol=0.15, atol=0.15,
+    )
