@@ -18,8 +18,10 @@ Usage: python experiments/lc_product.py [hotspot|fdtd|both]
 
 from __future__ import annotations
 
+import faulthandler
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
@@ -28,14 +30,23 @@ import numpy as np
 from stencilstream_tpu.core import Grid, Params
 from stencilstream_tpu.backends import create_update
 
+# The first run of this experiment (round-4 session D) died in the
+# remote-compile tunnel with no traceback after ~40 min. Dump all stacks
+# every 10 min so a recurrence is diagnosable from the log.
+faulthandler.enable()
+faulthandler.dump_traceback_later(600, repeat=True)
+
 
 def marginal(grid, make_update, n1=256, n2=1024):
     def wall(n):
         up = make_update(n)
         up.fallback_to_reference = False
+        print(f"    [n={n}] compiling...", flush=True)
         t0 = time.perf_counter()
         up(grid)
         compile_s = time.perf_counter() - t0
+        print(f"    [n={n}] compiled+ran in {compile_s:.0f}s; timing...",
+              flush=True)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -71,15 +82,29 @@ def run_hotspot():
         ("pad+concat", {}),
         ("pad+roll", {"shift_impl": "roll"}),
         ("linecache", {"window_mode": "linecache"}),
+        # Smaller-window pair: hedges the known Mosaic large-window
+        # pathologies AND separates the discipline question from the
+        # window-height question.
+        ("pad+roll-112x8", {"shift_impl": "roll", "strip_rows": 112,
+                            "iters_per_pass": 8, "unroll": 8}),
+        ("linecache-112x8", {"window_mode": "linecache", "strip_rows": 112,
+                             "iters_per_pass": 8, "unroll": 8}),
     ]
     for label, extra in arms:
         def make(n, extra=extra):
             return create_update(
                 Params(transition_function=kernel, halo_value=halo,
                        n_iterations=n, blocking=True),
-                backend="tiling", **base, **extra)
+                backend="tiling", **{**base, **extra})
 
-        rate, comp, up = marginal(grid, make)
+        print(f"[hotspot {size}^2] arm {label} starting", flush=True)
+        try:
+            rate, comp, up = marginal(grid, make)
+        except Exception:
+            traceback.print_exc()
+            print(f"[hotspot {size}^2] {label}: FAILED (see traceback)",
+                  flush=True)
+            continue
         mode = getattr(up, "resolved_config", {}).get("window_mode", "?")
         print(f"[hotspot {size}^2] {label} (resolved={mode}) {base}: "
               f"{rate:.2f} GCell/s marginal (compile {comp:.0f}s)", flush=True)
@@ -116,10 +141,17 @@ def run_fdtd():
         def make(n, extra=extra):
             update, _ = fdtd.build_simulation(
                 params, resolver=resolver, backend="tiling", n_iterations=n,
-                tdv_strategy="inline", **base, **extra)
+                tdv_strategy="inline", **{**base, **extra})
             return update
 
-        rate, comp, up = marginal(grid, make)
+        print(f"[fdtd {grid.shape[0]}x{grid.shape[1]}] arm {label} starting",
+              flush=True)
+        try:
+            rate, comp, up = marginal(grid, make)
+        except Exception:
+            traceback.print_exc()
+            print(f"[fdtd] {label}: FAILED (see traceback)", flush=True)
+            continue
         mode = getattr(up, "resolved_config", {}).get("window_mode", "?")
         print(f"[fdtd {grid.shape[0]}x{grid.shape[1]}] {label} "
               f"(resolved={mode}) {base}: {rate:.2f} GCell/s marginal "

@@ -32,6 +32,30 @@ def build(app, size):
         kw = dict(strip_rows=224, iters_per_pass=16, unroll=16,
                   shift_impl="roll")
         flops = 9
+    elif app == "fdtd":
+        # Bandwidth-bound row (BENCH_DETAILS round 4: memory_time_fraction
+        # 0.94 at 32 B cells, p=8) — the regime bf16 storage targets.
+        from stencilstream_tpu.models import fdtd
+
+        params = fdtd.Parameters.from_json({
+            "tau": 100e-15,
+            "dx": 1.5655577299412914e-9,
+            "time": {"t_cutoff": 7.0, "t_detect": 14.0, "t_max": 15.0},
+            "source": {"frequency": 120e12, "phase": 3.0, "x": 0, "y": 0,
+                       "radius": 0},
+            "cavity_rings": [
+                {"radius": 800e-9, "mu_r": 11.56, "eps_r": 1.0,
+                 "sigma": 0.0}],
+        })
+        resolver = fdtd.CoefResolver(params)
+        grid = fdtd.init_grid(params, resolver)
+        kernel = fdtd.make_kernel(params, resolver)
+        halo = resolver.halo_cell()
+        kw = dict(fdtd.TUNED.get("tiling", {}))
+        kw.setdefault("strip_rows", 96)
+        kw.setdefault("iters_per_pass", 8)
+        kw.setdefault("unroll", 8)
+        flops = 22
     else:
         from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
 
