@@ -120,7 +120,10 @@ def result_row(app, backend, grid_shape, n_iterations, wall, flops_per_cell,
 
 
 def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
-                  samples: int = SAMPLES, **backend_kwargs):
+                  samples: int = SAMPLES, bf16_storage: bool = False,
+                  **backend_kwargs):
+    """``bf16_storage=True`` mirrors :func:`bench_jacobi`'s storage trade
+    for the 2-field hotspot cell (own row, distinct precision contract)."""
     from stencilstream_tpu.models.hotspot import HotspotCell, derive_coefficients
     import jax.numpy as jnp
 
@@ -132,12 +135,26 @@ def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "til
         )
     )
     kernel = derive_coefficients(size, size)
+    cell_bytes = 8
+    extra = {}
+    if bf16_storage:
+        from stencilstream_tpu.backends.storage_cast import (
+            CastStorageKernel,
+            cast_storage,
+        )
+
+        kernel = CastStorageKernel(kernel)
+        grid = cast_storage(grid)
+        cell_bytes = 4
+        extra = {"storage": "bf16"}
+        backend_kwargs.pop("shift_impl", None)
+    halo = HotspotCell(temp=jnp.float32(0.0), power=jnp.float32(0.0))
 
     def make_update(n):
         return create_update(
             Params(
                 transition_function=kernel,
-                halo_value=HotspotCell(temp=jnp.float32(0.0), power=jnp.float32(0.0)),
+                halo_value=halo,
                 n_iterations=n,
                 blocking=True,
             ),
@@ -146,12 +163,11 @@ def bench_hotspot(size: int = 8192, n_iterations: int = 256, backend: str = "til
         )
 
     wall, update = bench_update(grid, make_update, n_iterations, samples)
-    halo = HotspotCell(temp=jnp.float32(0.0), power=jnp.float32(0.0))
     mk, stats = model_inputs(kernel, grid, halo, backend, backend_kwargs,
                              n_iterations, wall, 15, updater=update)
     return result_row("hotspot", backend, (size, size), n_iterations, wall,
-                      15, 8, baseline=BASELINE_HOTSPOT_GCELLS,
-                      model_kwargs=mk, strip_stats=stats)
+                      15, cell_bytes, baseline=BASELINE_HOTSPOT_GCELLS,
+                      model_kwargs=mk, strip_stats=stats, **extra)
 
 
 def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tiling",
@@ -204,14 +220,19 @@ def bench_jacobi(size: int = 8192, n_iterations: int = 256, backend: str = "tili
 
 
 def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling",
-               samples: int = SAMPLES, **backend_kwargs):
+               samples: int = SAMPLES, bf16_storage: bool = False,
+               **backend_kwargs):
     """FDTD at the reference's mono-benchmark geometry (1024^2 grid,
     ``examples/fdtd/experiments/mono_benchmark.json``); 22 nominal ops/cell
     (14 + 8, ``examples/fdtd/scripts/benchmark.jl``), 32 B cells.
 
     Backend kwargs default to the app's TUNED table (the monotile row
     carries the measured ``vmem_budget`` override — VERDICT r3 weak #6: the
-    constant lives with the app, not the benchmark script)."""
+    constant lives with the app, not the benchmark script).
+
+    ``bf16_storage=True`` targets the one bandwidth-bound row in the suite
+    (tiling: memory_time_fraction 0.94 at 32 B cells): 16 B stored cells,
+    f32 compute (own row, distinct precision contract)."""
     from stencilstream_tpu.models import fdtd
 
     params = fdtd.Parameters.from_json(
@@ -227,26 +248,45 @@ def bench_fdtd(n_iterations: int = 2048, backend: str = "tiling",
     )
     resolver = fdtd.CoefResolver(params)
     grid = fdtd.init_grid(params, resolver)
-    backend_kwargs = backend_kwargs or fdtd.TUNED.get(backend, {})
+    backend_kwargs = dict(backend_kwargs or fdtd.TUNED.get(backend, {}))
+    tf = fdtd.make_kernel(params, resolver)
+    cell_bytes = 32
+    extra = {}
+    if bf16_storage:
+        from stencilstream_tpu.backends.storage_cast import (
+            CastStorageKernel,
+            cast_storage,
+        )
+
+        tf = CastStorageKernel(tf)
+        grid = cast_storage(grid)
+        cell_bytes = 16
+        extra = {"storage": "bf16"}
+        backend_kwargs.pop("shift_impl", None)
 
     def make_update(n):
         # Inline TDV: the source amplitude is scalar math traced into the
         # kernel — zero host work and no per-iteration stream operand (a
         # 65536-deep host-TDV stream must ride VMEM and costs a per-step
         # scalar load).
-        update, _ = fdtd.build_simulation(
-            params, resolver=resolver, backend=backend, n_iterations=n,
-            tdv_strategy="inline", **backend_kwargs,
+        return create_update(
+            Params(
+                transition_function=tf,
+                halo_value=resolver.halo_cell(),
+                n_iterations=n,
+                blocking=True,
+                tdv_strategy="inline",
+            ),
+            backend=backend,
+            **backend_kwargs,
         )
-        return update
 
     wall, update = bench_update(grid, make_update, n_iterations, samples)
-    tf = fdtd.make_kernel(params, resolver)
     mk, stats = model_inputs(tf, grid, resolver.halo_cell(), backend,
                              backend_kwargs, n_iterations, wall, 22,
                              updater=update)
-    return result_row("fdtd", backend, grid.shape, n_iterations, wall, 22, 32,
-                      model_kwargs=mk, strip_stats=stats)
+    return result_row("fdtd", backend, grid.shape, n_iterations, wall, 22,
+                      cell_bytes, model_kwargs=mk, strip_stats=stats, **extra)
 
 
 def bench_convection(n_iterations: int = 1024, backend: str = "tiling",
