@@ -28,8 +28,12 @@ _LABELS = {
     "jacobi_tiling": "Jacobi5, HBM-resident ({g}², tiling{cfg})",
     "jacobi_tiling_bf16":
         "Jacobi5, HBM-resident, bf16 storage ({g}², tiling{cfg})",
+    "hotspot_tiling_bf16":
+        "HotSpot, HBM-resident, bf16 storage ({g}², tiling{cfg})",
     "fdtd_monotile": "FDTD ({g}², k=2, 8-field cells, monotile)",
     "fdtd_tiling": "FDTD ({g}², k=2, 8-field cells, tiling)",
+    "fdtd_tiling_bf16":
+        "FDTD, bf16 storage ({g}², k=2, 8-field cells, tiling)",
     "convection_tiling": "Convection ({gx}×{gy}, k=3, 11-field cells, tiling)",
 }
 _BASELINES = {"hotspot": "122.7 GCell/s (1.84 TFLOP/s)",
