@@ -33,4 +33,12 @@ stage "E4: linecache product A/B fdtd 1024^2"
 timeout 7200 python -u experiments/lc_product.py fdtd 2>&1 \
   | tee -a "$LOG" | tail -8
 
+stage "E5: strip-height sweep jacobi-bf16 (224/320/448, p16)"
+timeout 7200 python -u experiments/strip_sweep.py jacobi_bf16 2>&1 \
+  | tee -a "$LOG" | tail -8
+
+stage "E6: strip-height sweep hotspot f32 (224/320/448, p16)"
+timeout 7200 python -u experiments/strip_sweep.py hotspot 2>&1 \
+  | tee -a "$LOG" | tail -8
+
 stage "DONE"
