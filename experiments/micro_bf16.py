@@ -71,6 +71,11 @@ def build(app, size):
 
 
 def marginal(grid, kernel, halo, kw, n1=256, n2=1024):
+    """Marginal rate between two run lengths. n1/n2 must be large enough
+    that (w2 - w1) is seconds, not noise: the round-5 F2 run measured a
+    NEGATIVE fdtd marginal because 1024^2 x (1024-256) iters is only ~10 ms
+    of work — per-app counts are scaled in run() so the denominator is
+    O(0.5 s) at the row's measured rate."""
     def wall(n):
         up = create_update(
             Params(transition_function=kernel, halo_value=halo,
@@ -92,11 +97,18 @@ def marginal(grid, kernel, halo, kw, n1=256, n2=1024):
 
 def run(app, size):
     grid, kernel, halo, kw, flops = build(app, size)
-    g_f32 = marginal(grid, kernel, halo, kw)
-    print(f"[{app} {size}^2] f32 storage {kw}: {g_f32:.2f} GCell/s marginal",
-          flush=True)
-    g_bf = marginal(cast_storage(grid), CastStorageKernel(kernel), halo, kw)
-    print(f"[{app} {size}^2] bf16 storage same config: {g_bf:.2f} GCell/s "
+    h, w = grid.shape
+    # Scale the marginal-rate run lengths so the w2-w1 denominator is ~0.5 s
+    # of device time at ~100 GCell/s — on the small fdtd grid the old fixed
+    # 256/1024 counts left it inside timer noise (negative marginal, F2).
+    n_half_s = max(256, int(round(50e9 / (h * w) / 256)) * 256)
+    n1, n2 = n_half_s, 4 * n_half_s
+    g_f32 = marginal(grid, kernel, halo, kw, n1, n2)
+    print(f"[{app} {h}x{w}] f32 storage {kw} (n={n1}/{n2}): "
+          f"{g_f32:.2f} GCell/s marginal", flush=True)
+    g_bf = marginal(cast_storage(grid), CastStorageKernel(kernel), halo, kw,
+                    n1, n2)
+    print(f"[{app} {h}x{w}] bf16 storage same config: {g_bf:.2f} GCell/s "
           f"marginal ({g_bf / g_f32:.3f}x)", flush=True)
     return g_f32, g_bf
 

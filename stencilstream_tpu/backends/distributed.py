@@ -328,6 +328,7 @@ class StencilUpdate(StencilUpdateBase):
             window_mode="extended",
             strip_rows=strip_rows if strip_rows is not None else Hp // ny,
             iters_per_pass=p,
+            unroll=1 if self.unroll == 1 else p,
             shift_impl=self.shift_impl,
             transposed=False,
         )

@@ -109,7 +109,21 @@ class StripPass:
         # unroll == 1; any unroll > 1 means "fully unroll the step loop", so
         # track the RESOLVED p (pick_config may have clamped the requested
         # iters_per_pass — e.g. the 1-iteration full pass of the convection
-        # lean/full split under a tuned unroll=16 must not crash).
+        # lean/full split under a tuned unroll=16 must not crash; that
+        # downward tracking is documented and silent). A PARTIAL unroll
+        # request (1 < unroll < p) is different: it gets silently *raised*
+        # to full unroll, changing codegen vs what was tuned — warn, like
+        # the linecache/transpose downgrades do (ADVICE r4 #3).
+        if 1 < unroll < p:
+            import warnings
+
+            warnings.warn(
+                f"Mosaic supports only unroll=1 or full unroll; requested "
+                f"partial unroll={unroll} is coerced to the resolved "
+                f"iters_per_pass={p}",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         if unroll != 1:
             unroll = p
         m = cell_sublane_multiple(arrays)

@@ -512,7 +512,12 @@ class StencilUpdate(StencilUpdateBase):
 
         p_cap = max(1, 128 // (r * k))
         iters_per_pass = min(self.iters_per_pass or p_cap, p_cap, max(n, 1))
-        chp = 128  # round_up(halo_width(r, p, k), 128) with p capped above
+        # Lane-aligned compound column halo. With p capped above this is one
+        # 128-column tile unless a single subiteration chain already exceeds
+        # it (r * k > 128 forces p = 1 and a wider halo) — MUST match the
+        # ``round_up(hp, 128)`` that ``_run_tiling``'s panels branch derives
+        # (ADVICE r4 #1: the two values diverged for r * k > 128).
+        chp = round_up(halo_width(r, iters_per_pass, k), 128)
 
         # Widest lane-aligned panel whose haloed window rows fit the strip
         # VMEM feasibility law (the same check that classified the full
@@ -568,6 +573,7 @@ class StencilUpdate(StencilUpdateBase):
             window_mode="panels",
             strip_rows=strip_rows,
             iters_per_pass=iters_per_pass,
+            unroll=1 if self.unroll == 1 else iters_per_pass,
             shift_impl=self.shift_impl,
             transposed=False,
             panel_cols=panel_cols,
@@ -766,6 +772,7 @@ class StencilUpdate(StencilUpdateBase):
             window_mode=window_mode,
             strip_rows=strip_rows,
             iters_per_pass=iters_per_pass,
+            unroll=1 if self.unroll == 1 else iters_per_pass,
             shift_impl=shift_impl,
             transposed=False,
         )

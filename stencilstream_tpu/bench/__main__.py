@@ -303,6 +303,11 @@ def main(argv=None) -> int:
                 result, update, grid, "distributed", backend_kwargs,
                 args.n_iterations, cell_bytes, flops,
             )
+            if args.app == "convection":
+                # Record which kernel variant this row measured so the
+                # rendered tables can attach the ', lean Err' / ', folded'
+                # labels (ADVICE r4 #4) — mirrors _convection_case's flags.
+                result.extra.update(with_err=False, folded=args.folded)
             path = write_metrics(result, args.out_dir)
             print(
                 f"{result.variant}: {result.cells_per_s / 1e9:.3f} GCell/s "
@@ -337,6 +342,14 @@ def main(argv=None) -> int:
             result, update, grid, args.backend, backend_kwargs,
             args.n_iterations, cell_bytes, flops,
         )
+        if args.app == "convection":
+            # Record which kernel variant this row measured so the rendered
+            # tables can attach the ', lean Err' / ', folded' labels
+            # (ADVICE r4 #4) — mirrors _convection_case's variant selection.
+            result.extra.update(
+                with_err=args.backend == "reference",
+                folded=args.folded and args.backend != "reference",
+            )
         path = write_metrics(result, args.out_dir)
         print(
             f"{result.variant}: {result.cells_per_s / 1e9:.2f} GCell/s "

@@ -119,12 +119,17 @@ class BenchmarkResult:
     gflops: float
     model: dict
     strip_kernel: dict | None = None
+    #: Case-specific top-level row fields (e.g. convection's ``with_err`` /
+    #: ``folded`` kernel-variant flags — ``tables.render_rows`` reads them
+    #: off the row to label lean-Err rows; ADVICE r4 #4).
+    extra: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
         d["grid_shape"] = list(self.grid_shape)
         if d.get("strip_kernel") is None:
             d.pop("strip_kernel", None)
+        d.update(d.pop("extra", {}))
         return d
 
 

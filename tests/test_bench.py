@@ -295,6 +295,46 @@ def test_col_inflation_gauge_is_live():
                                     iters_per_pass=8) == 0
 
 
+def test_bench_budget_calibration_and_rotation(tmp_path, monkeypatch):
+    """VERDICT r4 #1: the driver bench must budget with MEASURED per-case
+    walltimes from the previous artifact (the round-4 hand guesses were off
+    by up to 4.5x -> two consecutive rc=124s) and rotate non-headline cases
+    stalest-evidence-first so budget-limited driver rounds accumulate
+    coverage instead of re-proving the same prefix."""
+    import bench
+
+    art = tmp_path / "BENCH_DETAILS.json"
+    art.write_text(json.dumps({
+        "run_seq": 3,
+        "case_walltimes": {"a": 100.0, "b": 40.0},
+        "case_history": {"a": 2, "b": 1},
+        "results": [
+            {"case": "a", "case_walltime_s": 120.0},
+            {"case": "c", "case_walltime_s": 55.0},
+        ],
+    }))
+    monkeypatch.setattr(bench, "_DETAILS_PATH", str(art))
+    walltimes, history, run_seq = bench.load_history()
+    assert run_seq == 4
+    # This run's results override the carried-forward walltime table...
+    assert walltimes == {"a": 120.0, "b": 40.0, "c": 55.0}
+    # ...and stamp the cases the artifact's own run completed as run 3.
+    assert history == {"a": 3, "b": 1, "c": 3}
+
+    cases = [("headline", None, {}, 1), ("a", None, {}, 2),
+             ("b", None, {}, 3), ("c", None, {}, 4), ("never", None, {}, 5)]
+    order = [label for label, *_ in bench.rotate_cases(cases, history)]
+    # Headline pinned first; never-measured beats any stamp; then stalest.
+    assert order == ["headline", "never", "b", "a", "c"]
+
+    # Missing/corrupt artifact -> clean slate, run 1, authored order kept.
+    monkeypatch.setattr(bench, "_DETAILS_PATH", str(tmp_path / "absent.json"))
+    walltimes, history, run_seq = bench.load_history()
+    assert (walltimes, history, run_seq) == ({}, {}, 1)
+    assert [l for l, *_ in bench.rotate_cases(cases, history)] == [
+        "headline", "a", "b", "c", "never"]
+
+
 def test_exchange_halo_payload_packs_and_fills():
     """The collective must carry ONLY the packed hp-column payload — the
     lane-aligned frame positions are filled locally with zeros (they are
