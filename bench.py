@@ -425,7 +425,12 @@ def headline_line(results: list) -> dict | None:
 def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     details = {"device": str(jax.devices()[0]), "backend": jax.default_backend(),
-               "time_budget_s": time_budget()}
+               "time_budget_s": time_budget(),
+               # Session stamp: the chip drifts ±8% between sessions, so
+               # cross-artifact comparisons (curves vs bench rows) must know
+               # which session each number came from (VERDICT r4 weak #5).
+               "recorded_utc": time.strftime("%Y-%m-%d %H:%M:%SZ",
+                                             time.gmtime())}
 
     prev_walltimes, case_history, run_seq = load_history()
     details["run_seq"] = run_seq
