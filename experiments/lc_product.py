@@ -147,7 +147,11 @@ def run_fdtd():
         print(f"[fdtd {grid.shape[0]}x{grid.shape[1]}] arm {label} starting",
               flush=True)
         try:
-            rate, comp, up = marginal(grid, make)
+            # The ~1024^2 fdtd grid needs far larger run lengths than the
+            # 8192^2 apps: at 256/1024 iters the marginal denominator is
+            # ~10 ms — inside timer noise (the round-5 F2 run measured a
+            # NEGATIVE marginal that way). 16384/65536 puts it at ~0.6 s.
+            rate, comp, up = marginal(grid, make, n1=16384, n2=65536)
         except Exception:
             traceback.print_exc()
             print(f"[fdtd] {label}: FAILED (see traceback)", flush=True)

@@ -30,21 +30,31 @@ def main(size=8192):
     kernel = jacobi.make_kernel("jacobi5_general", [0.15, 0.2, 0.25, 0.1, 0.3])
     halo = jnp.float32(0.0)
 
-    # 1) correctness smoke at small scale vs the f32 oracle (loose fp8
-    #    tolerance; proves the Mosaic lowering is sane, not just compiling)
+    # 1) correctness vs the f32 oracle: max-abs-error TRAJECTORY over
+    #    increasing iteration counts (adoption needs an error bound with a
+    #    growth shape, not one smoke point — VERDICT r4 #7), with bf16 at
+    #    the same points for context. Jacobi5 with sum(weights)=1 is a
+    #    contraction, so storage-rounding errors should saturate, not grow.
     g_small = jacobi.init_grid(512, 512)
-    ref = create_update(
-        Params(transition_function=kernel, halo_value=halo, n_iterations=4,
-               blocking=True), backend="reference")(g_small)
-    up = create_update(
-        Params(transition_function=CastStorageKernel(kernel, f8),
-               halo_value=halo, n_iterations=4, blocking=True),
-        backend="tiling", strip_rows=64, iters_per_pass=2)
-    up.fallback_to_reference = False
-    out = up(cast_storage(g_small, f8))
-    err = np.abs(np.asarray(out.arrays, np.float32) - ref.to_numpy()).max()
-    print(f"[fp8 512^2 smoke] max abs err vs f32 oracle after 4 iters: "
-          f"{err:.4f} (fp8 has ~1 significant digit)", flush=True)
+    print("[error trajectory 512^2, tiling strip 64 p=2, vs f32 oracle]",
+          flush=True)
+    print("  iters | bf16 max-abs-err | fp8 max-abs-err", flush=True)
+    for n_it in (4, 16, 64, 256):
+        ref = create_update(
+            Params(transition_function=kernel, halo_value=halo,
+                   n_iterations=n_it, blocking=True),
+            backend="reference")(g_small).to_numpy()
+        errs = []
+        for dt in (jnp.bfloat16, f8):
+            up = create_update(
+                Params(transition_function=CastStorageKernel(kernel, dt),
+                       halo_value=halo, n_iterations=n_it, blocking=True),
+                backend="tiling", strip_rows=64, iters_per_pass=2)
+            up.fallback_to_reference = False
+            out = up(cast_storage(g_small, dt))
+            errs.append(
+                np.abs(np.asarray(out.arrays, np.float32) - ref).max())
+        print(f"  {n_it:5d} | {errs[0]:.6f} | {errs[1]:.4f}", flush=True)
 
     # 2) marginal rate at the tuned config
     grid = cast_storage(jacobi.init_grid(size, size), f8)

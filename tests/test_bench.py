@@ -306,7 +306,9 @@ def test_bench_budget_calibration_and_rotation(tmp_path, monkeypatch):
     art = tmp_path / "BENCH_DETAILS.json"
     art.write_text(json.dumps({
         "run_seq": 3,
+        "cold_start": True,
         "case_walltimes": {"a": 100.0, "b": 40.0},
+        "case_walltimes_warm": {"b": 12.0},
         "case_history": {"a": 2, "b": 1},
         "results": [
             {"case": "a", "case_walltime_s": 120.0},
@@ -314,25 +316,55 @@ def test_bench_budget_calibration_and_rotation(tmp_path, monkeypatch):
         ],
     }))
     monkeypatch.setattr(bench, "_DETAILS_PATH", str(art))
-    walltimes, history, run_seq = bench.load_history()
+    cold, warm, history, run_seq = bench.load_history()
     assert run_seq == 4
-    # This run's results override the carried-forward walltime table...
-    assert walltimes == {"a": 120.0, "b": 40.0, "c": 55.0}
-    # ...and stamp the cases the artifact's own run completed as run 3.
+    # Bootstrap rows route by the artifact's cold_start flag and never
+    # clobber an already-merged table entry ("a" keeps its merged 100.0).
+    assert cold == {"a": 100.0, "b": 40.0, "c": 55.0}
+    assert warm == {"b": 12.0}
+    # Cases the artifact's own run completed are stamped as run 3.
     assert history == {"a": 3, "b": 1, "c": 3}
+
+    # A WARM previous run's results land in the warm table instead —
+    # a warm walltime must never masquerade as a cold-cost estimate.
+    art.write_text(json.dumps({
+        "run_seq": 3,
+        "cold_start": False,
+        "case_walltimes": {"a": 100.0},
+        "results": [{"case": "c", "case_walltime_s": 5.0}],
+    }))
+    cold, warm, history, run_seq = bench.load_history()
+    assert cold == {"a": 100.0} and warm == {"c": 5.0}
 
     cases = [("headline", None, {}, 1), ("a", None, {}, 2),
              ("b", None, {}, 3), ("c", None, {}, 4), ("never", None, {}, 5)]
+    history = {"a": 3, "b": 1, "c": 3}
     order = [label for label, *_ in bench.rotate_cases(cases, history)]
     # Headline pinned first; never-measured beats any stamp; then stalest.
     assert order == ["headline", "never", "b", "a", "c"]
 
+    # Pinned flagship cases run right after the headline in EVERY run,
+    # exempt from staleness rotation (the driver artifact must carry the
+    # round's flagship claim, not eventually-rotated coverage).
+    monkeypatch.setattr(bench, "PINNED_CASES", ("c",))
+    order = [label for label, *_ in bench.rotate_cases(cases, history)]
+    assert order == ["headline", "c", "never", "b", "a"]
+    monkeypatch.setattr(bench, "PINNED_CASES", ("jacobi_tiling_bf16",))
+
     # Missing/corrupt artifact -> clean slate, run 1, authored order kept.
     monkeypatch.setattr(bench, "_DETAILS_PATH", str(tmp_path / "absent.json"))
-    walltimes, history, run_seq = bench.load_history()
-    assert (walltimes, history, run_seq) == ({}, {}, 1)
+    cold, warm, history, run_seq = bench.load_history()
+    assert (cold, warm, history, run_seq) == ({}, {}, {}, 1)
     assert [l for l, *_ in bench.rotate_cases(cases, history)] == [
         "headline", "a", "b", "c", "never"]
+
+    # Cache-aware estimates: warm runs budget with warm walltimes where
+    # known; cold runs always use cold walltimes; fallback otherwise.
+    cold_wt, warm_wt = {"x": 400.0, "y": 200.0}, {"x": 30.0}
+    assert bench.pick_estimate("x", cold_wt, warm_wt, False, 99) == 30.0 * 1.3
+    assert bench.pick_estimate("x", cold_wt, warm_wt, True, 99) == 400.0 * 1.15
+    assert bench.pick_estimate("y", cold_wt, warm_wt, False, 99) == 200.0 * 1.15
+    assert bench.pick_estimate("z", cold_wt, warm_wt, False, 99) == 99
 
 
 def test_exchange_halo_payload_packs_and_fills():
