@@ -12,7 +12,8 @@
 # genuine, not unrecorded — bench.curves renders them as n/a.
 set -u
 cd "$(dirname "$0")/.."
-export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}"
+# Repo-local cache: ~/.cache is wiped between rounds (round-5 observation).
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 OUT=docs/metrics
 mkdir -p "$OUT"

@@ -190,8 +190,14 @@ def main(argv=None) -> int:
     import os
 
     # Persistent compile cache: sweep/curve recording re-runs many sizes;
-    # without this every CLI invocation recompiles from scratch.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+    # without this every CLI invocation recompiles from scratch. Kept
+    # INSIDE the working tree (gitignored): the home cache directory is
+    # wiped between driver rounds.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+    )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     from ..utils.platform import honor_jax_platforms_env
